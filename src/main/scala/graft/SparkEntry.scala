@@ -1,13 +1,45 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.synth.SpanSynth
+import graft.extract.Extractor
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: full extraction pipeline (synth → dispatch → extract) on
+    * sf0.001; driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Extractor.extract(SpanSynth.docsInput(spark, "/root/testdata/sf0.001"))
+
+  /** Exploded (flat) extracted output ordered deterministically. */
+  private def extractFlat(spark: SparkSession, dir: String, cls: Option[Int]): DataFrame = {
+    val in = SpanSynth.docsInput(spark, dir)
+    val filtered = cls match {
+      case Some(c) => in.where(
+        pmod(substring(col("doc_id"), 5, 8).cast("long"), lit(5L)) === c)
+      case None => in
+    }
+    Extractor.extract(filtered)
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .select(col("doc_id"), col("s.kind").as("kind"), col("s.text").as("text"),
+        col("s.media_ref").as("media_ref"), col("s.offset").as("offset"))
+      .orderBy(col("doc_id"), col("offset"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "synth_spans" -> ((s, dir) =>
+      SpanSynth.flatSpans(s, dir).orderBy(col("doc_id"), col("offset"))),
+    "extract_full" -> ((s, dir) => extractFlat(s, dir, None))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "synth_spans" ->
+      s"""WITH ${SpanSynth.duckdbFlatCte}
+SELECT doc_id, kind, text, media_ref, "offset" FROM synth ORDER BY doc_id, "offset""""
+  )
 }
