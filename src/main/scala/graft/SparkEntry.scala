@@ -31,7 +31,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "synth_spans" -> ((s, dir) =>
       SpanSynth.flatSpans(s, dir).orderBy(col("doc_id"), col("offset"))),
-    "extract_full" -> ((s, dir) => extractFlat(s, dir, None))
+    "extract_full" -> ((s, dir) => extractFlat(s, dir, None)),
+    // per-extractor slices (doc class = doc_id % 5): E3, E4, E2, E1, E7
+    "extract_paragraphs" -> ((s, dir) => extractFlat(s, dir, Some(0))),
+    "extract_tabular" -> ((s, dir) => extractFlat(s, dir, Some(1))),
+    "extract_pdf_layout" -> ((s, dir) => extractFlat(s, dir, Some(2))),
+    "extract_ocr" -> ((s, dir) => extractFlat(s, dir, Some(3))),
+    "extract_html" -> ((s, dir) => extractFlat(s, dir, Some(4)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -40,6 +46,12 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "synth_spans" ->
       s"""WITH ${SpanSynth.duckdbFlatCte}
-SELECT doc_id, kind, text, media_ref, "offset" FROM synth ORDER BY doc_id, "offset""""
+SELECT doc_id, kind, text, media_ref, "offset" FROM synth ORDER BY doc_id, "offset"""",
+    "extract_full" -> graft.verify.ExtractOracle.sql(None),
+    "extract_paragraphs" -> graft.verify.ExtractOracle.sql(Some(0)),
+    "extract_tabular" -> graft.verify.ExtractOracle.sql(Some(1)),
+    "extract_pdf_layout" -> graft.verify.ExtractOracle.sql(Some(2)),
+    "extract_ocr" -> graft.verify.ExtractOracle.sql(Some(3)),
+    "extract_html" -> graft.verify.ExtractOracle.sql(Some(4))
   )
 }
