@@ -37,7 +37,13 @@ object SparkEntry {
     "extract_tabular" -> ((s, dir) => extractFlat(s, dir, Some(1))),
     "extract_pdf_layout" -> ((s, dir) => extractFlat(s, dir, Some(2))),
     "extract_ocr" -> ((s, dir) => extractFlat(s, dir, Some(3))),
-    "extract_html" -> ((s, dir) => extractFlat(s, dir, Some(4)))
+    "extract_html" -> ((s, dir) => extractFlat(s, dir, Some(4))),
+    // serving surface (SURVEY.md §2.6): queue scan, point lookup, metrics,
+    // dead-letter scan
+    "serve_queue" -> ((s, dir) => graft.serve.Queries.queue(s, dir)),
+    "serve_lookup" -> ((s, dir) => graft.serve.Queries.lookup(s, dir, "doc-00000042")),
+    "extract_metrics" -> ((s, dir) => graft.serve.Queries.metricsByClass(s, dir)),
+    "dead_letter_scan" -> ((s, dir) => graft.serve.Queries.deadLetters(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -52,6 +58,10 @@ SELECT doc_id, kind, text, media_ref, "offset" FROM synth ORDER BY doc_id, "offs
     "extract_tabular" -> graft.verify.ExtractOracle.sql(Some(1)),
     "extract_pdf_layout" -> graft.verify.ExtractOracle.sql(Some(2)),
     "extract_ocr" -> graft.verify.ExtractOracle.sql(Some(3)),
-    "extract_html" -> graft.verify.ExtractOracle.sql(Some(4))
+    "extract_html" -> graft.verify.ExtractOracle.sql(Some(4)),
+    "serve_queue" -> graft.verify.ExtractOracle.queueSql,
+    "serve_lookup" -> graft.verify.ExtractOracle.lookupSql("doc-00000042"),
+    "extract_metrics" -> graft.verify.ExtractOracle.metricsSql,
+    "dead_letter_scan" -> graft.verify.ExtractOracle.deadLetterSql
   )
 }

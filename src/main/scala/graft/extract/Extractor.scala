@@ -162,9 +162,12 @@ object Extractor {
     * native [[ExtractSpansExpr]] kernel (equivalence-tested against the
     * column-op implementation below).
     */
-  def extract(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      ExtractKernel.extract_spans(col("spans"), col("doc_id")).as("spans"))
+  def extract(docs: DataFrame): DataFrame = extract(docs, Seq.empty)
+
+  /** As [[extract]], carrying through `extraCols` (e.g. a bucket column). */
+  def extract(docs: DataFrame, extraCols: Seq[String]): DataFrame =
+    docs.select((col("doc_id") +: extraCols.map(col) :+
+      ExtractKernel.extract_spans(col("spans"), col("doc_id")).as("spans")): _*)
 
   /** Same semantics, pure Catalyst column ops (higher-order functions only).
     * Kept as the UDF-free reference implementation and for per-piece DuckDB

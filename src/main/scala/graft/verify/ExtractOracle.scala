@@ -111,4 +111,51 @@ final AS (
 )
 SELECT doc_id, kind, text, media_ref, "offset" FROM final ORDER BY doc_id, "offset""""
   }
+
+  /** Per-doc status rows derived from the extracted output (serve Q1). */
+  def queueSql: String =
+    s"""SELECT doc_id, cls, n_spans, n_images, n_errors, text_chars,
+       CASE WHEN n_errors > 0 THEN 'ERROR' ELSE 'COMPLETED' END AS status
+FROM (
+  SELECT doc_id, CAST(substr(doc_id, 5) AS BIGINT) % 5 AS cls,
+         count(*) AS n_spans,
+         count(*) FILTER (WHERE kind = 'image') AS n_images,
+         count(*) FILTER (WHERE kind = 'error') AS n_errors,
+         sum(coalesce(len(text), 0)) AS text_chars
+  FROM (${sql(None)})
+  GROUP BY doc_id)
+ORDER BY doc_id"""
+
+  /** Point lookup with status-dependent projection (serve Q2). */
+  def lookupSql(docId: String): String =
+    s"""SELECT doc_id, count(*) AS n_spans,
+       CASE WHEN count(*) FILTER (WHERE kind = 'error') > 0
+            THEN 'ERROR' ELSE 'COMPLETED' END AS status,
+       coalesce(string_agg(text, chr(10) ORDER BY "offset")
+                  FILTER (WHERE kind = 'text'), '') AS extracted_text
+FROM (${sql(None)})
+WHERE doc_id = '$docId'
+GROUP BY doc_id"""
+
+  /** Per-class aggregate metrics (the VERBOSE counters as one aggregate). */
+  def metricsSql: String =
+    s"""SELECT cls, count(*) AS n_docs, sum(n_spans) AS n_spans,
+       sum(n_images) AS n_images, sum(n_errors) AS n_errors,
+       sum(text_chars) AS text_chars
+FROM (
+  SELECT doc_id, CAST(substr(doc_id, 5) AS BIGINT) % 5 AS cls,
+         count(*) AS n_spans,
+         count(*) FILTER (WHERE kind = 'image') AS n_images,
+         count(*) FILTER (WHERE kind = 'error') AS n_errors,
+         sum(coalesce(len(text), 0)) AS text_chars
+  FROM (${sql(None)})
+  GROUP BY doc_id)
+GROUP BY cls ORDER BY cls"""
+
+  /** Unknown-kind dead-letter scan over the input spans. */
+  def deadLetterSql: String =
+    s"""WITH ${SpanSynth.duckdbFlatCte}
+SELECT doc_id, kind, "offset" FROM synth
+WHERE kind NOT IN ('text', 'pdf', 'ocr', 'html', 'image')
+ORDER BY doc_id, "offset""""
 }

@@ -1,0 +1,92 @@
+package graft
+
+import graft.pipeline.ExtractPipeline
+import graft.synth.SpanSynth
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Checkpoint/resume semantics (north_rule; SURVEY.md §3.4, §5.2 item 4):
+  * a killed run resumes computing ONLY the missing buckets, re-runs are
+  * no-ops, and the invariant checker flags nothing on a healthy store.
+  */
+class ResumeSpec extends AnyFunSuite with SparkSpec {
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-resume").toString
+    new java.io.File(d).deleteOnExit()
+    d
+  }
+
+  private def input = SpanSynth.docsInput(spark, "/root/testdata/sf0.001")
+    .where(substring(col("doc_id"), 5, 8).cast("long") < 200)
+
+  test("partial run + resume covers all buckets exactly once") {
+    val out = freshDir()
+    val B = 8
+    // simulate a crashed run: only buckets 0-3 got done
+    val partial = input.where(ExtractPipeline.bucketCol(B) < 4)
+    val r1 = ExtractPipeline.run(spark, partial,
+      ExtractPipeline.Config(out, "run-1", numBuckets = B))
+    assert(r1.bucketsDone === 0)
+
+    // resume with the FULL input: only buckets 4-7 must be computed
+    val r2 = ExtractPipeline.run(spark, input,
+      ExtractPipeline.Config(out, "run-2", numBuckets = B))
+    assert(r2.bucketsDone === 4)
+    assert(r2.bucketsRun === 4)
+
+    // output covers every input doc exactly once
+    val data = spark.read.parquet(s"$out/data")
+    assert(data.count() === input.count())
+    assert(data.select("doc_id").distinct().count() === input.count())
+
+    // third run is a no-op
+    val r3 = ExtractPipeline.run(spark, input,
+      ExtractPipeline.Config(out, "run-3", numBuckets = B))
+    assert(r3.bucketsDone === 8)
+    assert(r3.docsProcessed === 0)
+
+    // invariant checker: healthy store has no violations
+    assert(ExtractPipeline.verifyCheckpoints(spark, out).count() === 0)
+  }
+
+  test("checkpoint counters match output content") {
+    val out = freshDir()
+    ExtractPipeline.run(spark, input,
+      ExtractPipeline.Config(out, "run-1", numBuckets = 4))
+    val ckpt = spark.read.parquet(s"$out/_checkpoints")
+    val fromCkpt = ckpt.agg(sum("n_docs"), sum("n_spans"), sum("n_errors")).collect()(0)
+    val data = spark.read.parquet(s"$out/data")
+    val actual = data.agg(
+      count(lit(1)),
+      sum(size(col("spans"))),
+      sum(size(filter(col("spans"), s => s.getField("kind") === "error")))).collect()(0)
+    assert(fromCkpt.getLong(0) === actual.getLong(0))
+    assert(fromCkpt.getLong(1) === actual.getLong(1))
+    assert(fromCkpt.getLong(2) === actual.getLong(2))
+    // lineage row written per run
+    assert(spark.read.parquet(s"$out/_lineage").count() === 1)
+  }
+
+  test("resumed buckets overwrite idempotently (no duplicate docs)") {
+    val out = freshDir()
+    val B = 4
+    ExtractPipeline.run(spark, input, ExtractPipeline.Config(out, "r1", numBuckets = B))
+    // wipe one bucket's checkpoint rows to force recompute of bucket 2
+    val ckpt = spark.read.parquet(s"$out/_checkpoints").where(col("bucket") =!= 2).cache()
+    ckpt.count()
+    ckpt.coalesce(1).write.mode("overwrite").parquet(s"$out/_ckpt_tmp")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/_checkpoints"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$out/_ckpt_tmp"),
+      new org.apache.hadoop.fs.Path(s"$out/_checkpoints"))
+
+    val r = ExtractPipeline.run(spark, input, ExtractPipeline.Config(out, "r2", numBuckets = B))
+    assert(r.bucketsRun === 1)
+    val data = spark.read.parquet(s"$out/data")
+    assert(data.count() === input.count())
+    assert(data.select("doc_id").distinct().count() === input.count())
+    assert(ExtractPipeline.verifyCheckpoints(spark, out).count() === 0)
+  }
+}
