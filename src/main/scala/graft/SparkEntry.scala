@@ -43,7 +43,24 @@ object SparkEntry {
     "serve_queue" -> ((s, dir) => graft.serve.Queries.queue(s, dir)),
     "serve_lookup" -> ((s, dir) => graft.serve.Queries.lookup(s, dir, "doc-00000042")),
     "extract_metrics" -> ((s, dir) => graft.serve.Queries.metricsByClass(s, dir)),
-    "dead_letter_scan" -> ((s, dir) => graft.serve.Queries.deadLetters(s, dir))
+    "dead_letter_scan" -> ((s, dir) => graft.serve.Queries.deadLetters(s, dir)),
+    // training-data ops: dedup family
+    "dedup_exact" -> ((s, dir) => graft.textops.Dedup.exact(s, dir)),
+    "dedup_ngram_jaccard" -> ((s, dir) => graft.textops.Dedup.ngramJaccard(s, dir)),
+    "dedup_minhash_lsh" -> ((s, dir) => graft.textops.Dedup.minhashLsh(s, dir)),
+    "dedup_simhash" -> ((s, dir) => graft.textops.Dedup.simhashFingerprints(s, dir)),
+    "dedup_simhash_pairs" -> ((s, dir) => graft.textops.Dedup.simhashPairs(s, dir)),
+    // similarity search over embeddings
+    "sim_topk_brute" -> ((s, dir) => graft.textops.Similarity.bruteForceTopK(s, dir)),
+    "sim_topk_lsh" -> ((s, dir) => graft.textops.Similarity.lshTopK(s, dir)),
+    "embed_near_dup" -> ((s, dir) => graft.textops.Similarity.embeddingNearDup(s, dir)),
+    // text analysis
+    "text_lang_id" -> ((s, dir) => graft.textops.TextAnalysis.langId(s, dir)),
+    "text_quality" -> ((s, dir) => graft.textops.TextAnalysis.quality(s, dir)),
+    "text_tokens" -> ((s, dir) => graft.textops.TextAnalysis.tokenCounts(s, dir)),
+    "text_fingerprint" -> ((s, dir) => graft.textops.TextAnalysis.fingerprint(s, dir)),
+    // multimodal plumbing (stubbed decode, real schema/batching)
+    "media_features" -> ((s, dir) => graft.media.MediaFeatures.features(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -62,6 +79,19 @@ SELECT doc_id, kind, text, media_ref, "offset" FROM synth ORDER BY doc_id, "offs
     "serve_queue" -> graft.verify.ExtractOracle.queueSql,
     "serve_lookup" -> graft.verify.ExtractOracle.lookupSql("doc-00000042"),
     "extract_metrics" -> graft.verify.ExtractOracle.metricsSql,
-    "dead_letter_scan" -> graft.verify.ExtractOracle.deadLetterSql
+    "dead_letter_scan" -> graft.verify.ExtractOracle.deadLetterSql,
+    "dedup_exact" -> graft.verify.TextOracles.dedupExact,
+    "dedup_ngram_jaccard" -> graft.verify.TextOracles.ngramJaccard,
+    "dedup_minhash_lsh" -> graft.verify.TextOracles.minhashLsh,
+    "dedup_simhash" -> graft.verify.TextOracles.simhash,
+    "dedup_simhash_pairs" -> graft.verify.TextOracles.simhashPairs,
+    "sim_topk_brute" -> graft.verify.TextOracles.bruteForceTopK,
+    "sim_topk_lsh" -> graft.verify.TextOracles.lshTopK,
+    "embed_near_dup" -> graft.verify.TextOracles.embeddingNearDup,
+    "text_lang_id" -> graft.verify.TextOracles.langId,
+    "text_quality" -> graft.verify.TextOracles.quality,
+    "text_tokens" -> graft.verify.TextOracles.tokenCounts,
+    "text_fingerprint" -> graft.verify.TextOracles.fingerprint,
+    "media_features" -> graft.verify.TextOracles.mediaFeatures
   )
 }

@@ -1,0 +1,148 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * fuzziness: exact (hash groupBy), n-gram Jaccard (blocked join),
+  * MinHash+LSH (shingle → signature → band → bucket join), SimHash
+  * (bit-vote fingerprint + banded Hamming join). All shuffles are keyed on
+  * hash/band/block columns — at 100 TB each stage is one hash-partitioned
+  * exchange with map-side combine; no all-pairs product ever materializes.
+  */
+object Dedup {
+
+  val ShingleSize = 3
+  val MinHashK = 16
+  val Bands = 4 // rows-per-band = MinHashK / Bands = 4
+  val JaccardThreshold = 0.5
+  val SimHashBits = 32
+  val SimHashMaxHamming = 4
+
+  import PortableHash._
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** Exact dedup: rank within identical-content groups; rank>1 = duplicate.
+    * One hash-partitioned window over the content hash — the canonical
+    * web-scale exact-dedup shape (hash is the shuffle key, never the text).
+    */
+  def exact(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val w = Window.partitionBy("text_hash").orderBy("doc_id")
+    d.select(d("doc_id"), hexint60(d("text")).as("text_hash"))
+      .withColumn("is_duplicate", row_number().over(w) > 1)
+      .orderBy("doc_id")
+  }
+
+  private def wordsOf(c: Column): Column = split(c, " ")
+
+  /** Distinct word shingles of size [[ShingleSize]]; requires >= that many
+    * words (callers filter).
+    */
+  private def shingles(text: Column): Column = {
+    val ws = wordsOf(text)
+    array_distinct(transform(sequence(lit(0), size(ws) - ShingleSize),
+      i => array_join(slice(ws, i + 1, lit(ShingleSize)), " ")))
+  }
+
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+  }
+
+  /** N-gram Jaccard near-dup with first-word blocking: candidate pairs
+    * share a cheap block key (first word), exact Jaccard filters them. The
+    * block key bounds the join fan-out; at scale swap in a coarser prefix
+    * or length bucket without touching the shape.
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.4): DataFrame = {
+    val d = docs(spark, sfDir)
+    val base = d
+      .where(size(wordsOf(d("text"))) >= ShingleSize)
+      .select(d("doc_id"),
+        element_at(wordsOf(d("text")), 1).as("block"),
+        shingles(d("text")).as("sh"))
+    val a = base.select(col("doc_id").as("id_a"), col("block"), col("sh").as("sh_a"))
+    val b = base.select(col("doc_id").as("id_b"), col("block"), col("sh").as("sh_b"))
+    a.join(b, a("block") === b("block") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Per-doc MinHash signature columns sig0..sig{K-1} plus shingles. */
+  private def signatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val base = d.where(size(wordsOf(d("text"))) >= ShingleSize)
+      .select(d("doc_id"), shingles(d("text")).as("sh"))
+    val sigCols = (0 until MinHashK).map(i =>
+      array_min(transform(col("sh"), s => keyed60(i, s))).as(s"sig$i"))
+    base.select((col("doc_id") +: col("sh") +: sigCols): _*)
+  }
+
+  /** MinHash+LSH near-dup: shingle → K minhashes → band keys → bucket
+    * self-join → exact-Jaccard verification at [[JaccardThreshold]].
+    * The only shuffles are the band-key exchange and the final sort; band
+    * buckets bound candidate fan-out regardless of corpus size.
+    */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = MinHashK / Bands
+    val sigs = signatures(spark, sfDir)
+    val bandKeys = (0 until Bands).map { b =>
+      md5(concat_ws(",", (0 until rows).map(r => col(s"sig${b * rows + r}").cast("string")): _*))
+    }
+    val banded = sigs.select(col("doc_id"), col("sh"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+    val a = banded.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+      col("band"), col("key"))
+    val b = banded.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+      col("band"), col("key"))
+    a.join(b, Seq("band", "key")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .where(col("jaccard") >= JaccardThreshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** 32-bit SimHash fingerprint: per-word hash bit votes, sign → bit.
+    * Word hashes are computed once per doc; the 32 bit-sums fold over that
+    * array (codegen-friendly, no UDF).
+    */
+  def simhashFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val hashes = transform(wordsOf(d("text")), w => hexint32(w))
+    val withH = d.select(d("doc_id"), hashes.as("wh"))
+    val fp = (0 until SimHashBits).map { bit =>
+      val vote = aggregate(col("wh"), lit(0L),
+        (acc, h) => acc + (shiftright(h, bit).bitwiseAND(1) * 2 - 1))
+      when(vote > 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    withH.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
+  }
+
+  /** SimHash near-dup: banded Hamming join — pairs sharing any of the 4
+    * fingerprint bytes are candidates; `bit_count(xor) <= maxHamming`
+    * verifies. Byte bands bound the join exactly like LSH bands.
+    */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val fps = simhashFingerprints(spark, sfDir)
+    val bands = fps.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(j =>
+        shiftright(col("simhash"), j * 8).bitwiseAND(255)): _*)).as(Seq("band", "byte")))
+    val a = bands.select(col("doc_id").as("id_a"), col("simhash").as("fp_a"),
+      col("band"), col("byte"))
+    val b = bands.select(col("doc_id").as("id_b"), col("simhash").as("fp_b"),
+      col("band"), col("byte"))
+    a.join(b, Seq("band", "byte")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "fp_a", "fp_b").distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .where(col("hamming") <= SimHashMaxHamming)
+      .orderBy("id_a", "id_b")
+  }
+}

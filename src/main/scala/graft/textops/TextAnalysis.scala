@@ -1,0 +1,97 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level text analysis for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * column ops (codegen'd, shuffle-free per-row transforms) over the
+  * `documents` table; every constant is frozen (oracles depend on them).
+  */
+object TextAnalysis {
+
+  /** Stopword lists for the n-gram/stopword language heuristic. */
+  val EnStop: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+  val PtStop: Seq[String] = Seq("de", "a", "o", "e", "que", "do", "da", "em", "um", "para")
+
+  val BpeishTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def loadDocs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  private def words(c: Column): Column = split(c, " ")
+  private def nonEmptyWords(c: Column): Column = filter(words(c), w => w =!= "")
+
+  private def stopRatio(ws: Column, stop: Seq[String]): Column = {
+    val n = size(ws)
+    when(n === 0, lit(0.0))
+      .otherwise(size(filter(ws, w => w.isin(stop: _*))).cast("double") / n.cast("double"))
+  }
+
+  /** Language ID by stopword-ratio heuristic (n-gram-class heuristic over
+    * the cheapest discriminative n-gram: the word). Emits both ratios so
+    * downstream filters can threshold, plus the argmax guess.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = loadDocs(spark, sfDir)
+    val ws = nonEmptyWords(d("text"))
+    d.select(
+      d("doc_id"),
+      round(stopRatio(ws, EnStop), 6).as("en_ratio"),
+      round(stopRatio(ws, PtStop), 6).as("pt_ratio"))
+      .withColumn("lang_guess",
+        when(col("en_ratio") > col("pt_ratio"), lit("en"))
+          .when(col("pt_ratio") > col("en_ratio"), lit("pt"))
+          .otherwise(lit("und")))
+      .orderBy("doc_id")
+  }
+
+  /** Quality score: length, stopword ratio, mean word length — the classic
+    * cheap pre-filter for web-scale corpora. Formula frozen:
+    * 0.5*min(1, n_words/100) + 0.3*stop_ratio + 0.2*min(1, avg_word_len/8).
+    */
+  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = loadDocs(spark, sfDir)
+    val ws = nonEmptyWords(d("text"))
+    val nw = size(ws).cast("double")
+    val chars = aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double")
+    val avgWl = when(nw === 0, lit(0.0)).otherwise(chars / nw)
+    val q = lit(0.5) * least(lit(1.0), nw / 100.0) +
+      lit(0.3) * stopRatio(ws, EnStop) +
+      lit(0.2) * least(lit(1.0), avgWl / 8.0)
+    d.select(
+      d("doc_id"),
+      size(ws).as("n_words"),
+      length(d("text")).as("n_chars"),
+      round(avgWl, 6).as("avg_word_len"),
+      round(stopRatio(ws, EnStop), 6).as("stopword_ratio"),
+      round(q, 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex tokenizer count. */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = loadDocs(spark, sfDir)
+    d.select(
+      d("doc_id"),
+      size(nonEmptyWords(d("text"))).as("ws_tokens"),
+      size(regexp_extract_all(d("text"), lit(BpeishTokenPattern), lit(0))).as("bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: minimum keyed hash over the rolling window of
+    * word 5-grams (winnowing-style min-fingerprint); short docs fall back
+    * to whole-text hash. Robust to local edits outside the minimal gram.
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = loadDocs(spark, sfDir)
+    val ws = words(d("text"))
+    val nw = size(ws)
+    val grams = transform(sequence(lit(0), nw - 5),
+      i => array_join(slice(ws, i + 1, lit(5)), " "))
+    val fp = when(nw >= 5,
+      array_min(transform(grams, g => PortableHash.hexint60(g))))
+      .otherwise(PortableHash.hexint60(d("text")))
+    d.select(d("doc_id"), fp.as("fingerprint")).orderBy("doc_id")
+  }
+}

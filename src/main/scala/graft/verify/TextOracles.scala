@@ -1,0 +1,192 @@
+package graft.verify
+
+import graft.textops.{Dedup, PortableHash, Similarity, TextAnalysis}
+
+/** DuckDB oracle SQL for the training-data operators (dedup, similarity,
+  * text analysis, media features). Every constant mirrors the frozen
+  * constants in graft.textops; hashes are the portable md5-prefix ints
+  * ([[PortableHash]]).
+  */
+object TextOracles {
+
+  import PortableHash.{duckHexint32 => h32, duckHexint60 => h60}
+
+  private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+  private val enStop = inList(TextAnalysis.EnStop)
+  private val ptStop = inList(TextAnalysis.PtStop)
+
+  val dedupExact: String =
+    s"""SELECT doc_id, text_hash, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) > 1 AS is_duplicate
+FROM (SELECT doc_id, ${h60("text")} AS text_hash FROM documents)
+ORDER BY doc_id"""
+
+  val langId: String =
+    s"""WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents
+), r AS (
+  SELECT doc_id,
+    round(CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+      CAST(len(list_filter(ws, x -> x IN ($enStop))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) END, 6) AS en_ratio,
+    round(CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+      CAST(len(list_filter(ws, x -> x IN ($ptStop))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) END, 6) AS pt_ratio
+  FROM w)
+SELECT doc_id, en_ratio, pt_ratio,
+  CASE WHEN en_ratio > pt_ratio THEN 'en'
+       WHEN pt_ratio > en_ratio THEN 'pt' ELSE 'und' END AS lang_guess
+FROM r ORDER BY doc_id"""
+
+  val quality: String =
+    s"""WITH w AS (
+  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents
+), m AS (
+  SELECT doc_id, text, len(ws) AS n_words,
+    CASE WHEN len(ws) = 0 THEN 0.0
+         ELSE CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) END AS awl,
+    CASE WHEN len(ws) = 0 THEN 0.0
+         ELSE CAST(len(list_filter(ws, x -> x IN ($enStop))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) END AS sr
+  FROM w)
+SELECT doc_id, n_words, len(text) AS n_chars, round(awl, 6) AS avg_word_len,
+  round(sr, 6) AS stopword_ratio,
+  round(0.5 * least(1.0, CAST(n_words AS DOUBLE) / 100.0) + 0.3 * sr + 0.2 * least(1.0, awl / 8.0), 6) AS quality
+FROM m ORDER BY doc_id"""
+
+  val tokenCounts: String =
+    s"""SELECT doc_id,
+  len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+  len(regexp_extract_all(text, '${TextAnalysis.BpeishTokenPattern}')) AS bpe_tokens
+FROM documents ORDER BY doc_id"""
+
+  val fingerprint: String =
+    s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+  CASE WHEN len(ws) >= 5 THEN
+    list_min(list_transform(range(len(ws) - 4),
+      i -> ${h60("array_to_string(ws[i+1:i+5], ' ')")}))
+  ELSE ${h60("text")} END AS fingerprint
+FROM w ORDER BY doc_id"""
+
+  private val S = Dedup.ShingleSize
+  private def shinglesCte: String =
+    s"""base AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= $S
+), sh AS (
+  SELECT doc_id, ws[1] AS block,
+    list_distinct(list_transform(range(len(ws) - ${S - 1}),
+      i -> array_to_string(ws[i+1:i+$S], ' '))) AS sh
+  FROM base)"""
+
+  val ngramJaccard: String =
+    s"""WITH $shinglesCte
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jaccard
+  FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id)
+WHERE jaccard >= 0.4 ORDER BY id_a, id_b"""
+
+  val minhashLsh: String = {
+    val K = Dedup.MinHashK
+    val bands = Dedup.Bands
+    val rows = K / bands
+    s"""WITH $shinglesCte,
+sig AS (
+  SELECT doc_id, sh,
+    list_transform(range($K), i ->
+      list_min(list_transform(sh, s -> ${h60("i::VARCHAR || ':' || s")}))) AS sig
+  FROM sh),
+bands AS (
+  SELECT doc_id, CAST(u.b AS INT) AS band,
+    md5(array_to_string(sig[u.b*$rows+1 : u.b*$rows+$rows], ',')) AS key
+  FROM sig, UNNEST(range($bands)) u(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+          CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE), 6) AS jaccard
+  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+WHERE jaccard >= ${Dedup.JaccardThreshold} ORDER BY id_a, id_b"""
+  }
+
+  private val simhashCte: String =
+    s"""wh AS (
+  SELECT doc_id, list_transform(string_split(text, ' '), w -> ${h32("w")}) AS wh
+  FROM documents
+), fp AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(range(${Dedup.SimHashBits}), b ->
+      CASE WHEN list_sum(list_transform(wh, h -> ((h >> b) & 1) * 2 - 1)) > 0
+           THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT) AS simhash
+  FROM wh)"""
+
+  val simhash: String =
+    s"""WITH $simhashCte
+SELECT doc_id, simhash FROM fp ORDER BY doc_id"""
+
+  val simhashPairs: String =
+    s"""WITH $simhashCte,
+bands AS (
+  SELECT doc_id, simhash, CAST(u.j AS INT) AS band,
+    (simhash >> (CAST(u.j AS INT) * 8)) & 255 AS byte
+  FROM fp, UNNEST(range(4)) u(j)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, a.simhash AS fp_a, b.doc_id AS id_b, b.simhash AS fp_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM (
+  SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming FROM cand)
+WHERE hamming <= ${Dedup.SimHashMaxHamming} ORDER BY id_a, id_b"""
+
+  private val embCte: String =
+    """e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings)"""
+
+  private def duckCos(a: String, b: String): String =
+    s"""list_sum(list_transform(range(len($a)), i -> $a[i+1] * $b[i+1])) /
+ (sqrt(list_sum(list_transform(range(len($a)), i -> $a[i+1] * $a[i+1]))) *
+  sqrt(list_sum(list_transform(range(len($b)), i -> $b[i+1] * $b[i+1]))))"""
+
+  private def duckBucket(v: String): String =
+    s"""list_sum(list_transform(range(${Similarity.LshBits}), j ->
+      CASE WHEN $v[j+1] > 0.0 THEN CAST(1 AS BIGINT) << j ELSE 0 END))"""
+
+  val bruteForceTopK: String =
+    s"""WITH $embCte,
+q AS (SELECT v AS qv FROM e WHERE vec_id = ${Similarity.QueryVecId})
+SELECT vec_id, label, round(${duckCos("v", "qv")}, 6) AS sim
+FROM e, q WHERE vec_id <> ${Similarity.QueryVecId}
+ORDER BY sim DESC, vec_id LIMIT ${Similarity.TopK}"""
+
+  val lshTopK: String =
+    s"""WITH $embCte,
+eb AS (SELECT vec_id, label, v, ${duckBucket("v")} AS bucket FROM e),
+q AS (SELECT v AS qv, bucket AS qbucket FROM eb WHERE vec_id = ${Similarity.QueryVecId})
+SELECT vec_id, label, round(${duckCos("v", "qv")}, 6) AS sim
+FROM eb, q WHERE vec_id <> ${Similarity.QueryVecId} AND bucket = qbucket
+ORDER BY sim DESC, vec_id LIMIT ${Similarity.TopK}"""
+
+  val embeddingNearDup: String =
+    s"""WITH $embCte,
+eb AS (SELECT vec_id, v, ${duckBucket("v")} AS bucket FROM e)
+SELECT id_a, id_b, sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(${duckCos("a.v", "b.v")}, 6) AS sim
+  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+WHERE sim >= ${Similarity.NearDupCosine} ORDER BY id_a, id_b"""
+
+  /** Media features over the extracted output's image spans — mirrors the
+    * deterministic stub decode in graft.media.MediaFeatures.
+    */
+  val mediaFeatures: String =
+    s"""SELECT doc_id, media_ref, "offset",
+  CAST(64 + ${h32("media_ref || '#w'")} % 1857 AS INT) AS width,
+  CAST(64 + ${h32("media_ref || '#h'")} % 1017 AS INT) AS height,
+  CASE ${h32("media_ref || '#f'")} % 3
+    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+  1024 + ${h32("media_ref || '#b'")} % 4194304 AS byte_size
+FROM (${ExtractOracle.sql(None)})
+WHERE kind = 'image'
+ORDER BY doc_id, "offset""""
+}
