@@ -14,11 +14,23 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   val ShingleSize = 3
+  val BlockWords = 2
   val MinHashK = 16
   val Bands = 4 // rows-per-band = MinHashK / Bands = 4
   val JaccardThreshold = 0.5
   val SimHashBits = 32
   val SimHashMaxHamming = 4
+
+  /** Modulus for the affine MinHash family (31-bit prime). */
+  val MinHashP = 1000000007L
+
+  /** Frozen (a_i, b_i) coefficients, derived deterministically from the
+    * portable hash so the DuckDB oracle embeds the same literals.
+    */
+  val MinHashCoef: IndexedSeq[(Long, Long)] = (0 until MinHashK).map { i =>
+    (1L + PortableHash.hexint32(s"minhash-a-$i") % (MinHashP - 1),
+      PortableHash.hexint32(s"minhash-b-$i") % MinHashP)
+  }
 
   import PortableHash._
 
@@ -48,15 +60,23 @@ object Dedup {
       i => array_join(slice(ws, i + 1, lit(ShingleSize)), " ")))
   }
 
-  private def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
-  }
+  /** Append a rounded Jaccard column, computing the intersection ONCE
+    * (a naive `|∩|/|∪|` expression would evaluate `array_intersect` twice
+    * per pair — measured 2x on the LSH verify stage).
+    */
+  private def withJaccard(pairs: DataFrame): DataFrame =
+    pairs
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"), 6)
+          .as("jaccard"))
 
-  /** N-gram Jaccard near-dup with first-word blocking: candidate pairs
-    * share a cheap block key (first word), exact Jaccard filters them. The
-    * block key bounds the join fan-out; at scale swap in a coarser prefix
-    * or length bucket without touching the shape.
+  /** N-gram Jaccard near-dup with prefix blocking: candidate pairs share a
+    * cheap block key (first [[BlockWords]] words), exact Jaccard filters
+    * them. The block key bounds the join fan-out quadratically — at scale
+    * widen/narrow the prefix (or use a length bucket) without touching the
+    * shape.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String,
       threshold: Double = 0.4): DataFrame = {
@@ -64,47 +84,66 @@ object Dedup {
     val base = d
       .where(size(wordsOf(d("text"))) >= ShingleSize)
       .select(d("doc_id"),
-        element_at(wordsOf(d("text")), 1).as("block"),
+        array_join(slice(wordsOf(d("text")), 1, BlockWords), " ").as("block"),
         shingles(d("text")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = base.select(col("doc_id").as("id_a"), col("block"), col("sh").as("sh_a"))
     val b = base.select(col("doc_id").as("id_b"), col("block"), col("sh").as("sh_b"))
-    a.join(b, a("block") === b("block") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+    withJaccard(a.join(b, a("block") === b("block") && col("id_a") < col("id_b")))
       .where(col("jaccard") >= threshold)
       .orderBy("id_a", "id_b")
   }
 
-  /** Per-doc MinHash signature columns sig0..sig{K-1} plus shingles. */
+  /** Per-doc MinHash signature columns sig0..sig{K-1} plus shingles.
+    *
+    * One md5 per shingle, then K affine mixes `(a_i*h + b_i) mod P` — the
+    * classic construction. The hashed-shingle array is a separate projection
+    * column referenced K times, which stops CollapseProject from inlining
+    * (= re-computing) the md5 pass per signature; all arithmetic stays in
+    * exact int64 (h < P, a_i < P, so a*h < 2^60).
+    */
   private def signatures(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
     val base = d.where(size(wordsOf(d("text"))) >= ShingleSize)
       .select(d("doc_id"), shingles(d("text")).as("sh"))
-    val sigCols = (0 until MinHashK).map(i =>
-      array_min(transform(col("sh"), s => keyed60(i, s))).as(s"sig$i"))
+      .withColumn("shh", transform(col("sh"), s => hexint32(s) % MinHashP))
+    val sigCols = (0 until MinHashK).map { i =>
+      val (a, b) = MinHashCoef(i)
+      array_min(transform(col("shh"), h => (lit(a) * h + lit(b)) % MinHashP)).as(s"sig$i")
+    }
     base.select((col("doc_id") +: col("sh") +: sigCols): _*)
   }
 
   /** MinHash+LSH near-dup: shingle → K minhashes → band keys → bucket
     * self-join → exact-Jaccard verification at [[JaccardThreshold]].
-    * The only shuffles are the band-key exchange and the final sort; band
-    * buckets bound candidate fan-out regardless of corpus size.
+    *
+    * Shape notes for scale: the band self-join carries ONLY (doc_id, band,
+    * key) — shingle arrays would bloat the exchange; candidate ids dedupe
+    * BEFORE the arrays are joined back for verification, so each shingle
+    * array crosses the wire once per surviving candidate, not once per
+    * matching band.
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val rows = MinHashK / Bands
+    // the signature table feeds both band-join sides AND the verify joins;
+    // persist it so shingling+hashing runs once (at scale: a materialized
+    // signature table, the standard two-job MinHash layout)
     val sigs = signatures(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandKeys = (0 until Bands).map { b =>
       md5(concat_ws(",", (0 until rows).map(r => col(s"sig${b * rows + r}").cast("string")): _*))
     }
-    val banded = sigs.select(col("doc_id"), col("sh"),
+    val banded = sigs.select(col("doc_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
-    val a = banded.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
-      col("band"), col("key"))
-    val b = banded.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
-      col("band"), col("key"))
-    a.join(b, Seq("band", "key")).where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
-      .select(col("id_a"), col("id_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+    val a = banded.select(col("doc_id").as("id_a"), col("band"), col("key"))
+    val b = banded.select(col("doc_id").as("id_b"), col("band"), col("key"))
+    val cand = a.join(b, Seq("band", "key")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sh = sigs.select(col("doc_id"), col("sh"))
+    val pairs = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    withJaccard(pairs)
       .where(col("jaccard") >= JaccardThreshold)
       .orderBy("id_a", "id_b")
   }

@@ -71,7 +71,7 @@ FROM w ORDER BY doc_id"""
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
   WHERE len(string_split(text, ' ')) >= $S
 ), sh AS (
-  SELECT doc_id, ws[1] AS block,
+  SELECT doc_id, array_to_string(ws[1:${Dedup.BlockWords}], ' ') AS block,
     list_distinct(list_transform(range(len(ws) - ${S - 1}),
       i -> array_to_string(ws[i+1:i+$S], ' '))) AS sh
   FROM base)"""
@@ -89,15 +89,24 @@ WHERE jaccard >= 0.4 ORDER BY id_a, id_b"""
     val K = Dedup.MinHashK
     val bands = Dedup.Bands
     val rows = K / bands
+    val P = Dedup.MinHashP
+    val sigCols = (0 until K).map { i =>
+      val (a, b) = Dedup.MinHashCoef(i)
+      s"list_min(list_transform(shh, h -> ($a * h + $b) % $P)) AS sig$i"
+    }.mkString(",\n    ")
+    val bandKeys = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => s"CAST(sig${b * rows + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"WHEN ${b} THEN md5($cols)"
+    }.mkString(" ")
     s"""WITH $shinglesCte,
 sig AS (
   SELECT doc_id, sh,
-    list_transform(range($K), i ->
-      list_min(list_transform(sh, s -> ${h60("i::VARCHAR || ':' || s")}))) AS sig
-  FROM sh),
+    $sigCols
+  FROM (SELECT doc_id, sh, list_transform(sh, s -> ${h32("s")} % $P) AS shh FROM sh)),
 bands AS (
   SELECT doc_id, CAST(u.b AS INT) AS band,
-    md5(array_to_string(sig[u.b*$rows+1 : u.b*$rows+$rows], ',')) AS key
+    CASE CAST(u.b AS INT) $bandKeys END AS key
   FROM sig, UNNEST(range($bands)) u(b)),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
