@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   *  1. Extraction throughput (docs/sec) over a materialized span table at
   *     local[8] vs local[32] — the in-sandbox evidence for the north_rule's
   *     N vs 4N cluster-scaling criterion (efficiency = tput32/(4*tput8)).
-  *     The input is pre-written to parquet (64 files) so the read
-  *     parallelizes the way a real bucketed table would; evaluation is
-  *     forced with a full-width aggregate (count() would prune the
-  *     extraction away).
-  *  2. Per-query seconds for every SparkEntry query at local[32].
+  *     Each parallelism level runs in a FRESH child JVM (sequential
+  *     SparkSessions in one JVM contaminate each other's timings via JIT/GC
+  *     state — measured 5x swings). The input is pre-written to parquet
+  *     (64 files) so the read parallelizes like a real bucketed table;
+  *     evaluation is forced with a full-width aggregate (count() would
+  *     prune the extraction away).
+  *  2. Per-query seconds for every SparkEntry query at local[32]
+  *     (warmup + 1 timed run each).
   */
 object Bench {
 
@@ -50,11 +53,55 @@ object Bench {
     (1 to n).map(_ => time(f)).min
   }
 
+  /** JDK17 module opens for child JVMs (mirrors build.sbt / spark-submit). */
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Run one throughput measurement in a fresh JVM; returns docs/sec. */
+  private def tputInChildJvm(cores: Int, scratch: String): Double = {
+    val java = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val cmd = Seq(java) ++ addOpens ++ Seq(
+      "-Xmx8g", "-Dspark.ui.enabled=false", "-cp", cp,
+      "graft.Bench", "tput", cores.toString, scratch)
+    // child stderr (Spark logs) inherits ours — buffering it would deadlock
+    val p = new ProcessBuilder(cmd: _*)
+      .redirectError(ProcessBuilder.Redirect.INHERIT).start()
+    val out = new String(p.getInputStream.readAllBytes())
+    p.waitFor()
+    out.linesIterator.find(_.startsWith("TPUT ")) match {
+      case Some(l) => l.stripPrefix("TPUT ").toDouble
+      case None => sys.error(s"child JVM (cores=$cores) produced no TPUT line")
+    }
+  }
+
+  /** Child-JVM entry: measure extraction docs/sec at one parallelism. */
+  private def tputMain(cores: Int, scratch: String): Unit = {
+    val s = session(cores)
+    val nDocs = s.read.parquet(scratch).count()
+    val sec = bestOf(2) {
+      force(graft.extract.Extractor.extract(s.read.parquet(scratch)))
+    }
+    s.stop()
+    println(s"TPUT ${nDocs / sec}")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val rep = sys.env.getOrElse("SPARK_GRAFT_BENCH_REP", "20").toInt
     val scratch = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft_bench") + "/spans"
+
+    if (args.length == 3 && args(0) == "tput") {
+      tputMain(args(1).toInt, args(2)); return
+    }
 
     // ---- prepare: materialize the replicated span table (not timed) ----
     val prep = session(cpus)
@@ -65,20 +112,12 @@ object Bench {
     replicated.repartition(64).write.mode("overwrite").parquet(scratch)
     val nDocs = prep.read.parquet(scratch).count()
     prep.stop()
-
-    // ---- scaling: identical extraction job at 8 and 32 threads ----
-    def tput(cores: Int): Double = {
-      val s = session(cores)
-      val sec = bestOf(2) {
-        force(graft.extract.Extractor.extract(s.read.parquet(scratch)))
-      }
-      s.stop()
-      nDocs / sec
-    }
     System.err.println(s"[bench] prepared $nDocs docs at $scratch")
-    val t8 = tput(8)
+
+    // ---- scaling: identical extraction job, fresh JVM per level ----
+    val t8 = tputInChildJvm(8, scratch)
     System.err.println(s"[bench] tput8=$t8")
-    val t32 = tput(32)
+    val t32 = tputInChildJvm(32, scratch)
     System.err.println(s"[bench] tput32=$t32")
     val eff = t32 / (4.0 * t8)
 

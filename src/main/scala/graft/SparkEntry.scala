@@ -60,7 +60,11 @@ object SparkEntry {
     "text_tokens" -> ((s, dir) => graft.textops.TextAnalysis.tokenCounts(s, dir)),
     "text_fingerprint" -> ((s, dir) => graft.textops.TextAnalysis.fingerprint(s, dir)),
     // multimodal plumbing (stubbed decode, real schema/batching)
-    "media_features" -> ((s, dir) => graft.media.MediaFeatures.features(s, dir))
+    "media_features" -> ((s, dir) => graft.media.MediaFeatures.features(s, dir)),
+    // LLM-stage string/JSON ops (L1 / L5 / L4)
+    "llm_prompt_build" -> ((s, dir) => graft.textops.LlmFormat.promptBuildQuery(s, dir)),
+    "llm_extract_values" -> ((s, dir) => graft.textops.LlmFormat.extractValuesQuery(s, dir)),
+    "llm_format_response" -> ((s, dir) => graft.textops.LlmFormat.formatResponseQuery(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -92,6 +96,9 @@ SELECT doc_id, kind, text, media_ref, "offset" FROM synth ORDER BY doc_id, "offs
     "text_quality" -> graft.verify.TextOracles.quality,
     "text_tokens" -> graft.verify.TextOracles.tokenCounts,
     "text_fingerprint" -> graft.verify.TextOracles.fingerprint,
-    "media_features" -> graft.verify.TextOracles.mediaFeatures
+    "media_features" -> graft.verify.TextOracles.mediaFeatures,
+    "llm_prompt_build" -> graft.verify.TextOracles.promptBuild,
+    "llm_extract_values" -> graft.verify.TextOracles.extractValues,
+    "llm_format_response" -> graft.verify.TextOracles.formatResponse
   )
 }

@@ -185,6 +185,66 @@ SELECT id_a, id_b, sim FROM (
   FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 WHERE sim >= ${Similarity.NearDupCosine} ORDER BY id_a, id_b"""
 
+  // ---- L-stage oracles (graft.textops.LlmFormat) ----
+
+  import graft.textops.LlmFormat
+
+  val promptBuild: String = {
+    val q = LlmFormat.Question
+    val fmtIns = s"""chr(10) || chr(10) || 'Return the answer as JSON matching this format: ' || '${LlmFormat.AnswerTemplate}'"""
+    val exIns = s"""chr(10) || 'Example: ' || '${LlmFormat.AnswerExample}'"""
+    s"""SELECT doc_id,
+  'Context: ' ||
+  (CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = ''
+        THEN '${LlmFormat.EmptyContextSentinel}' ELSE text END) ||
+  chr(10) || chr(10) || 'Question: ' || '$q' ||
+  (CASE doc_id % 3
+     WHEN 0 THEN $fmtIns || $exIns
+     WHEN 1 THEN $fmtIns
+     ELSE '' END) ||
+  chr(10) || chr(10) || 'Based on the context above, answer directly and objectively.'
+  AS full_prompt
+FROM documents ORDER BY doc_id"""
+  }
+
+  /** DuckDB mirror of the L5 battery for one key over column `resp`. */
+  private def duckBattery(key: String): String = {
+    val pats = LlmFormat.keyPatterns(key)
+    val tries = pats.map(p => s"nullif(regexp_extract(resp, '$p', 1), '')")
+    s"regexp_replace(coalesce(${tries.mkString(", ")}, NULL), '[,;.]+$$', '')"
+  }
+
+  private val syntheticKvSql: String =
+    """'name: ' || coalesce(nullif(string_split(text, ' ')[1], ''), 'empty') ||
+ ', total: ' || CAST(doc_id % 100 AS VARCHAR) || '.5' ||
+ chr(10) || 'date: 12/03/2024' || chr(10) || 'cnpj: 12.345.678/0001-99'"""
+
+  val extractValues: String =
+    s"""WITH r AS (SELECT doc_id, $syntheticKvSql AS resp FROM documents)
+SELECT doc_id,
+  ${duckBattery("name")} AS name,
+  ${duckBattery("total")} AS total,
+  ${duckBattery("date")} AS date,
+  ${duckBattery("cnpj")} AS cnpj
+FROM r ORDER BY doc_id"""
+
+  /** Expected L4 outputs derived analytically from the synthetic reply
+    * construction (method 1 / 2 / 3 / 5 of the cascade respectively).
+    */
+  val formatResponse: String =
+    s"""WITH w AS (
+  SELECT doc_id,
+    coalesce(nullif(string_split(text, ' ')[1], ''), 'empty') AS w1,
+    CAST(doc_id % 100 AS VARCHAR) AS n
+  FROM documents)
+SELECT doc_id,
+  CASE doc_id % 4
+    WHEN 0 THEN '{"name": "' || w1 || '", "total": ' || n || '}'
+    WHEN 1 THEN '{"name": "' || w1 || '"}'
+    WHEN 2 THEN '{"name": "' || w1 || '", "total": "' || n || '.5"}'
+    ELSE 'no structured data about ' || w1 END AS formatted
+FROM w ORDER BY doc_id"""
+
   /** Media features over the extracted output's image spans — mirrors the
     * deterministic stub decode in graft.media.MediaFeatures.
     */
