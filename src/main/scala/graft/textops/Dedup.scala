@@ -18,8 +18,7 @@ object Dedup {
   val MinHashK = 16
   val Bands = 4 // rows-per-band = MinHashK / Bands = 4
   val JaccardThreshold = 0.5
-  val SimHashBits = 32
-  val SimHashMaxHamming = 4
+  val SimHashMaxHamming = 3
 
   /** Modulus for the affine MinHash family (31-bit prime). */
   val MinHashP = 1000000007L
@@ -148,36 +147,33 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** 32-bit SimHash fingerprint: per-word hash bit votes, sign → bit.
-    * Word hashes are computed once per doc; the 32 bit-sums fold over that
-    * array (codegen-friendly, no UDF).
+  /** 60-bit SimHash fingerprint per doc (native [[SimHash]] expression;
+    * one pass per row — the column-op equivalent needs 60 interpreted
+    * folds).
     */
   def simhashFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
-    val hashes = transform(wordsOf(d("text")), w => hexint32(w))
-    val withH = d.select(d("doc_id"), hashes.as("wh"))
-    val fp = (0 until SimHashBits).map { bit =>
-      val vote = aggregate(col("wh"), lit(0L),
-        (acc, h) => acc + (shiftright(h, bit).bitwiseAND(1) * 2 - 1))
-      when(vote > 0, lit(1L << bit)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    withH.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
+    d.select(d("doc_id"), SimHash.simhash60(d("text")).as("simhash"))
+      .orderBy("doc_id")
   }
 
   /** SimHash near-dup: banded Hamming join — pairs sharing any of the 4
-    * fingerprint bytes are candidates; `bit_count(xor) <= maxHamming`
-    * verifies. Byte bands bound the join exactly like LSH bands.
+    * 15-bit fingerprint bands are candidates; `bit_count(xor) <= 3`
+    * verifies, with GUARANTEED recall (pigeonhole over the bands).
+    * 15-bit bands keep bucket sizes small even on clustered corpora —
+    * 8-bit bands measured 25x slower here from candidate blow-up.
     */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val fps = simhashFingerprints(spark, sfDir)
     val bands = fps.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(j =>
-        shiftright(col("simhash"), j * 8).bitwiseAND(255)): _*)).as(Seq("band", "byte")))
+      posexplode(array((0 until SimHash.Bands).map(j =>
+        shiftright(col("simhash"), j * SimHash.BandBits)
+          .bitwiseAND(SimHash.BandMask)): _*)).as(Seq("band", "bkey")))
     val a = bands.select(col("doc_id").as("id_a"), col("simhash").as("fp_a"),
-      col("band"), col("byte"))
+      col("band"), col("bkey"))
     val b = bands.select(col("doc_id").as("id_b"), col("simhash").as("fp_b"),
-      col("band"), col("byte"))
-    a.join(b, Seq("band", "byte")).where(col("id_a") < col("id_b"))
+      col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey")).where(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "fp_a", "fp_b").distinct()
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))

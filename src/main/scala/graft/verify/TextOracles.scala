@@ -119,33 +119,37 @@ SELECT id_a, id_b, jaccard FROM (
 WHERE jaccard >= ${Dedup.JaccardThreshold} ORDER BY id_a, id_b"""
   }
 
-  private val simhashCte: String =
+  private val simhashCte: String = {
+    import graft.textops.SimHash
     s"""wh AS (
-  SELECT doc_id, list_transform(string_split(text, ' '), w -> ${h32("w")}) AS wh
+  SELECT doc_id, list_transform(string_split(text, ' '), w -> ${h60("w")}) AS wh
   FROM documents
 ), fp AS (
   SELECT doc_id,
-    CAST(list_sum(list_transform(range(${Dedup.SimHashBits}), b ->
+    CAST(list_sum(list_transform(range(${SimHash.Bits}), b ->
       CASE WHEN list_sum(list_transform(wh, h -> ((h >> b) & 1) * 2 - 1)) > 0
            THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT) AS simhash
   FROM wh)"""
+  }
 
   val simhash: String =
     s"""WITH $simhashCte
 SELECT doc_id, simhash FROM fp ORDER BY doc_id"""
 
-  val simhashPairs: String =
+  val simhashPairs: String = {
+    import graft.textops.SimHash
     s"""WITH $simhashCte,
 bands AS (
   SELECT doc_id, simhash, CAST(u.j AS INT) AS band,
-    (simhash >> (CAST(u.j AS INT) * 8)) & 255 AS byte
-  FROM fp, UNNEST(range(4)) u(j)),
+    (simhash >> (CAST(u.j AS INT) * ${SimHash.BandBits})) & ${SimHash.BandMask} AS bkey
+  FROM fp, UNNEST(range(${SimHash.Bands})) u(j)),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, a.simhash AS fp_a, b.doc_id AS id_b, b.simhash AS fp_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id)
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
 SELECT id_a, id_b, hamming FROM (
   SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming FROM cand)
 WHERE hamming <= ${Dedup.SimHashMaxHamming} ORDER BY id_a, id_b"""
+  }
 
   private val embCte: String =
     """e AS (
