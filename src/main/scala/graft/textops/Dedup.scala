@@ -164,7 +164,10 @@ object Dedup {
     * 8-bit bands measured 25x slower here from candidate blow-up.
     */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    // both self-join sides read the fingerprints — persist so the native
+    // simhash pass runs once per doc
     val fps = simhashFingerprints(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = fps.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until SimHash.Bands).map(j =>
         shiftright(col("simhash"), j * SimHash.BandBits)
