@@ -176,7 +176,7 @@ object Bench {
     // effects distort least (8-vs-32 measured noisier by far).
     val Array(coresN, cores4N) = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES", "2,8")
       .split(",").map(_.trim.toInt)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val runsN = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     val runs4N = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     (1 to reps).foreach { i =>
