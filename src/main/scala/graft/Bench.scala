@@ -8,15 +8,16 @@ import org.apache.spark.sql.functions._
   *    "scaling":{...}}
   *
   * Two measurements (protocol in BASELINE.md):
-  *  1. Extraction throughput (docs/sec) over a materialized span table at
-  *     local[8] vs local[32] — the in-sandbox evidence for the north_rule's
-  *     N vs 4N cluster-scaling criterion (efficiency = tput32/(4*tput8)).
-  *     Each parallelism level runs in a FRESH child JVM (sequential
-  *     SparkSessions in one JVM contaminate each other's timings via JIT/GC
-  *     state — measured 5x swings). The input is pre-written to parquet
-  *     (64 files) so the read parallelizes like a real bucketed table;
-  *     evaluation is forced with a full-width aggregate (count() would
-  *     prune the extraction away).
+  *  1. Extraction throughput (docs/sec) over a materialized fat-doc span
+  *     table at local[2] (N) vs local[8] (4N) — the in-sandbox evidence
+  *     for the north_rule's N vs 4N cluster-scaling criterion
+  *     (efficiency = tput4N/(4*tputN); both wall and CPU-time-derived).
+  *     Each measurement runs in a FRESH child JVM (sequential
+  *     SparkSessions in one JVM contaminate each other's timings), the
+  *     levels interleave best-of-N (microVM neighbor steal), and 2-vs-8
+  *     sits below the 32-core host's saturation point where steal
+  *     distorts least. The input is pre-written to parquet (128 files)
+  *     and cached so the kernel compute — not I/O — is what scales.
   *  2. Per-query seconds for every SparkEntry query at local[32]
   *     (warmup + 1 timed run each).
   */
