@@ -18,8 +18,12 @@ import org.apache.spark.sql.functions._
   *     sits below the 32-core host's saturation point where steal
   *     distorts least. The input is pre-written to parquet (128 files)
   *     and cached so the kernel compute — not I/O — is what scales.
-  *  2. Per-query seconds for every SparkEntry query at local[32]
-  *     (warmup + 1 timed run each).
+  *  2. Per-query seconds for every SparkEntry query at local[32].
+  *     Same steal medicine as the scaling protocol: after one warmup pass,
+  *     the full query list is timed in interleaved ROUNDS (q1..qk, q1..qk,
+  *     ...) and each query reports its per-round minimum — a single noisy
+  *     round then inflates at most one round, not one query by 20x
+  *     (round-1 recorded 78 s for a query that repeatedly re-times at ~3 s).
   */
 object Bench {
 
@@ -46,12 +50,6 @@ object Bench {
 
   private def time(f: => Unit): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-  }
-
-  /** Best-of-n wall seconds after one warmup. */
-  private def bestOf(n: Int)(f: => Unit): Double = {
-    f // warmup
-    (1 to n).map(_ => time(f)).min
   }
 
   /** JDK17 module opens for child JVMs (mirrors build.sbt / spark-submit). */
@@ -189,23 +187,40 @@ object Bench {
     val t4N = runs4N.map(_._1).max
     val cN = runsN.map(_._2).max
     val c4N = runs4N.map(_._2).max
-    val effWall = t4N / (4.0 * tN)
-    val effCpu = c4N / (4.0 * cN)
+    val ratio = cores4N.toDouble / coresN
+    val effWall = t4N / (ratio * tN)
+    val effCpu = c4N / (ratio * cN)
 
     // ---- per-query timings at the driver's cpu count ----
+    // interleaved rounds + per-query min (see scaladoc): one warmup pass,
+    // then `qreps` timed passes over the whole sorted list
+    val qreps = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_REPS", "3").toInt
     val s = session(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = try bestOf(1)(force(fn(s, sfDir))) catch { case _: Throwable => -1.0 }
-      System.err.println(s"[bench] $name: $sec")
-      name -> sec
+    val qs0 = SparkEntry.queries.toSeq.sortBy(_._1)
+    qs0.foreach { case (name, fn) =>
+      try force(fn(s, sfDir)) catch { case _: Throwable => () }
+    }
+    val timed = (1 to qreps).map { r =>
+      qs0.map { case (name, fn) =>
+        val sec = try time(force(fn(s, sfDir))) catch { case _: Throwable => -1.0 }
+        System.err.println(s"[bench] round $r $name: $sec")
+        name -> sec
+      }.toMap
+    }
+    val results = qs0.map { case (name, _) =>
+      val xs = timed.map(_(name))
+      name -> (if (xs.forall(_ < 0)) -1.0 else xs.filter(_ >= 0).min)
     }
     s.stop()
 
     val qs = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.1f").mkString("[", ",", "]")
+    // "efficiency" = WALL-clock ratio (the honest headline; sensitive to
+    // stragglers/idle loss); "efficiency_cpu" = CPU-time-derived ratio
+    // (steal-immune cross-check — rationale in BASELINE.md)
     val scaling =
-      s"""{"docs":$nDocs,"cores_n":$coresN,"cores_4n":$cores4N,"docs_per_sec_n":${f"$tN%.1f"},"docs_per_sec_4n":${f"$t4N%.1f"},"efficiency":${f"$effCpu%.3f"},"efficiency_wall":${f"$effWall%.3f"},"cpu_docs_per_sec_n":${f"$cN%.1f"},"cpu_docs_per_sec_4n":${f"$c4N%.1f"},"wall_runs_n":${arr(runsN.map(_._1).toSeq)},"wall_runs_4n":${arr(runs4N.map(_._1).toSeq)},"cpu_runs_n":${arr(runsN.map(_._2).toSeq)},"cpu_runs_4n":${arr(runs4N.map(_._2).toSeq)}}"""
+      s"""{"docs":$nDocs,"cores_n":$coresN,"cores_4n":$cores4N,"docs_per_sec_n":${f"$tN%.1f"},"docs_per_sec_4n":${f"$t4N%.1f"},"efficiency":${f"$effWall%.3f"},"efficiency_cpu":${f"$effCpu%.3f"},"cpu_docs_per_sec_n":${f"$cN%.1f"},"cpu_docs_per_sec_4n":${f"$c4N%.1f"},"wall_runs_n":${arr(runsN.map(_._1).toSeq)},"wall_runs_4n":${arr(runs4N.map(_._1).toSeq)},"cpu_runs_n":${arr(runsN.map(_._2).toSeq)},"cpu_runs_4n":${arr(runs4N.map(_._2).toSeq)}}"""
     println(
       s"""{"metric":"total_query_sec","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
   }

@@ -55,8 +55,11 @@ object LlmFormat {
     * CNPJ, decimal, integer fallbacks; first match wins; trailing
     * punctuation stripped; case-insensitive).
     */
-  def keyPatterns(key: String): Seq[String] = Seq(
-    s"(?i)$key:\\s*([^\\n,}]+)",
+  def keyPatterns(key: String): Seq[String] = {
+    // keys interpolate into a regex shared verbatim with the DuckDB oracle
+    // (no \Q..\E there), so restrict to plain identifiers instead of quoting
+    require(key.matches("[A-Za-z0-9_]+"), s"key must be a plain identifier: $key")
+    Seq(
     s"(?i)$key\\s*:\\s*([^\\n,}]+)",
     s"(?i)$key\\s*=\\s*([^\\n,}]+)",
     "(\\d{1,2}[/\\-.]\\d{1,2}[/\\-.]\\d{2,4})",
@@ -65,6 +68,7 @@ object LlmFormat {
     "(\\d{14})",
     "(\\d+[,.]\\d+)",
     "(\\d+)")
+  }
 
   /** L5 as a column: first matching pattern's capture, trailing [,;.]+
     * stripped; null if nothing matches.

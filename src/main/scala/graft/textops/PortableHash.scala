@@ -31,13 +31,36 @@ object PortableHash {
     hexint60(concat(lit(s"$i:"), c))
 
   // --- Scala-side equivalents (for typed/mapPartitions stages) ---
+  // Hot-path form: thread-local digest + byte math. The 60-bit value IS the
+  // first 15 hex chars of md5 (drop the low nibble of byte 7), so the
+  // fingerprints stay bit-identical with the Column/DuckDB forms while
+  // skipping the per-word hex formatting + parse (~4 allocations/word).
+
+  private val tlMd5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 md5 bytes as a big-endian long. */
+  private def md5Prefix64(s: String): Long = {
+    val md = tlMd5.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+  }
+
+  /** Scala twin of the Column [[hexint60]] (== first 15 hex chars of md5). */
+  def hexint60(s: String): Long = md5Prefix64(s) >>> 4
+
+  /** Scala twin of the Column [[hexint32]] (== first 8 hex chars of md5). */
+  def hexint32(s: String): Long = md5Prefix64(s) >>> 32
 
   def md5Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
     d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
-
-  def hexint32(s: String): Long = java.lang.Long.parseLong(md5Hex(s).substring(0, 8), 16)
 
   // --- DuckDB SQL fragments ---
 

@@ -29,7 +29,7 @@ object SimHash {
     val votes = new Array[Int](Bits)
     var wi = 0
     while (wi < words.length) {
-      val h = java.lang.Long.parseLong(PortableHash.md5Hex(words(wi)).substring(0, 15), 16)
+      val h = PortableHash.hexint60(words(wi))
       var b = 0
       while (b < Bits) {
         votes(b) += (((h >> b) & 1L) * 2 - 1).toInt

@@ -112,7 +112,10 @@ final AS (
 SELECT doc_id, kind, text, media_ref, "offset" FROM final ORDER BY doc_id, "offset""""
   }
 
-  /** Per-doc status rows derived from the extracted output (serve Q1). */
+  /** Per-doc status rows derived from the extracted output (serve Q1).
+    * Sums are CAST to BIGINT: DuckDB `sum(BIGINT)` yields HUGEINT, while
+    * Spark emits BIGINT, and the driver's value hash is type-sensitive.
+    */
   def queueSql: String =
     s"""SELECT doc_id, cls, n_spans, n_images, n_errors, text_chars,
        CASE WHEN n_errors > 0 THEN 'ERROR' ELSE 'COMPLETED' END AS status
@@ -121,7 +124,7 @@ FROM (
          count(*) AS n_spans,
          count(*) FILTER (WHERE kind = 'image') AS n_images,
          count(*) FILTER (WHERE kind = 'error') AS n_errors,
-         sum(coalesce(len(text), 0)) AS text_chars
+         CAST(sum(coalesce(len(text), 0)) AS BIGINT) AS text_chars
   FROM (${sql(None)})
   GROUP BY doc_id)
 ORDER BY doc_id"""
@@ -137,17 +140,20 @@ FROM (${sql(None)})
 WHERE doc_id = '$docId'
 GROUP BY doc_id"""
 
-  /** Per-class aggregate metrics (the VERBOSE counters as one aggregate). */
+  /** Per-class aggregate metrics (the VERBOSE counters as one aggregate).
+    * Every sum is CAST to BIGINT (DuckDB sum→HUGEINT vs Spark BIGINT).
+    */
   def metricsSql: String =
-    s"""SELECT cls, count(*) AS n_docs, sum(n_spans) AS n_spans,
-       sum(n_images) AS n_images, sum(n_errors) AS n_errors,
-       sum(text_chars) AS text_chars
+    s"""SELECT cls, count(*) AS n_docs, CAST(sum(n_spans) AS BIGINT) AS n_spans,
+       CAST(sum(n_images) AS BIGINT) AS n_images,
+       CAST(sum(n_errors) AS BIGINT) AS n_errors,
+       CAST(sum(text_chars) AS BIGINT) AS text_chars
 FROM (
   SELECT doc_id, CAST(substr(doc_id, 5) AS BIGINT) % 5 AS cls,
          count(*) AS n_spans,
          count(*) FILTER (WHERE kind = 'image') AS n_images,
          count(*) FILTER (WHERE kind = 'error') AS n_errors,
-         sum(coalesce(len(text), 0)) AS text_chars
+         CAST(sum(coalesce(len(text), 0)) AS BIGINT) AS text_chars
   FROM (${sql(None)})
   GROUP BY doc_id)
 GROUP BY cls ORDER BY cls"""
