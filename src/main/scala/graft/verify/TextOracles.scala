@@ -161,9 +161,25 @@ WHERE hamming <= ${Dedup.SimHashMaxHamming} ORDER BY id_a, id_b"""
  (sqrt(list_sum(list_transform(range(len($a)), i -> $a[i+1] * $a[i+1]))) *
   sqrt(list_sum(list_transform(range(len($b)), i -> $b[i+1] * $b[i+1]))))"""
 
-  private def duckBucket(v: String): String =
-    s"""list_sum(list_transform(range(${Similarity.LshBits}), j ->
-      CASE WHEN $v[j+1] > 0.0 THEN CAST(1 AS BIGINT) << j ELSE 0 END))"""
+  /** Dot of `v` against pool plane `t*bits + j` (literal list-of-lists
+    * `ps`, 1-indexed), summed left-to-right like the Spark fold.
+    */
+  private def duckPlaneDot(v: String, tExpr: String, j: String, bits: Int): String =
+    s"list_sum(list_transform(range(${Similarity.Dim}), i -> $v[i+1] * ps[$tExpr*$bits + $j + 1][i+1]))"
+
+  /** B-bit sign signature of `v` for table `tExpr` (mirrors
+    * [[graft.textops.Similarity.tableSignature]]).
+    */
+  private def duckSignature(v: String, tExpr: String, bits: Int): String =
+    s"""CAST(list_sum(list_transform(range($bits), j ->
+      CASE WHEN ${duckPlaneDot(v, tExpr, "CAST(j AS INT)", bits)} > 0.0
+           THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END)) AS BIGINT)"""
+
+  private def duckNorm(v: String): String =
+    s"sqrt(list_sum(list_transform(range(${Similarity.Dim}), i -> $v[i+1] * $v[i+1])))"
+
+  private def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(${Similarity.Dim}), i -> $a[i+1] * $b[i+1]))"
 
   val bruteForceTopK: String =
     s"""WITH $embCte,
@@ -172,22 +188,63 @@ SELECT vec_id, label, round(${duckCos("v", "qv")}, 6) AS sim
 FROM e, q WHERE vec_id <> ${Similarity.QueryVecId}
 ORDER BY sim DESC, vec_id LIMIT ${Similarity.TopK}"""
 
-  val lshTopK: String =
+  val lshTopK: String = {
+    val T = Similarity.TopKTables
+    val B = Similarity.TopKBits
     s"""WITH $embCte,
-eb AS (SELECT vec_id, label, v, ${duckBucket("v")} AS bucket FROM e),
-q AS (SELECT v AS qv, bucket AS qbucket FROM eb WHERE vec_id = ${Similarity.QueryVecId})
-SELECT vec_id, label, round(${duckCos("v", "qv")}, 6) AS sim
-FROM eb, q WHERE vec_id <> ${Similarity.QueryVecId} AND bucket = qbucket
-ORDER BY sim DESC, vec_id LIMIT ${Similarity.TopK}"""
+pl AS (SELECT ${Similarity.duckPlanes(T * B)} AS ps),
+nv AS (SELECT vec_id, label, v, ${duckNorm("v")} AS nrm FROM e),
+buckets AS (
+  SELECT vec_id, CAST(u.t AS INT) AS tbl, ${duckSignature("v", "CAST(u.t AS INT)", B)} AS bucket
+  FROM e, pl, UNNEST(range($T)) u(t)),
+qprobes AS (
+  SELECT tbl, CASE WHEN CAST(u.j AS INT) = $B THEN bucket
+              ELSE xor(bucket, CAST(1 AS BIGINT) << CAST(u.j AS INT)) END AS bucket
+  FROM buckets, UNNEST(range(${B + 1})) u(j)
+  WHERE vec_id = ${Similarity.QueryVecId}),
+cand AS (
+  SELECT DISTINCT b.vec_id FROM buckets b JOIN qprobes p
+    ON b.tbl = p.tbl AND b.bucket = p.bucket
+  WHERE b.vec_id <> ${Similarity.QueryVecId}),
+q AS (SELECT v AS qv, nrm AS qnrm FROM nv WHERE vec_id = ${Similarity.QueryVecId})
+SELECT n.vec_id, n.label, round(${duckDot("n.v", "qv")} / (n.nrm * qnrm), 6) AS sim
+FROM cand c JOIN nv n ON n.vec_id = c.vec_id, q
+ORDER BY sim DESC, n.vec_id LIMIT ${Similarity.TopK}"""
+  }
 
-  val embeddingNearDup: String =
+  /** Corpus + planted near-duplicates (mirrors
+    * [[graft.textops.Similarity.plantedCorpus]]): every PlantEvery-th
+    * vector re-appears with coordinates scaled by 1 + (h%101 - 50)/1000.
+    */
+  private val plantedCorpusCte: String =
+    s"""corpus AS (
+  SELECT vec_id, v FROM e
+  UNION ALL
+  SELECT vid + ${Similarity.PlantIdOffset} AS vec_id,
+    list_transform(range(${Similarity.Dim}), i -> v[CAST(i AS INT)+1] * (1.0 +
+      CAST(${h32("'pert-' || CAST(vid AS VARCHAR) || '-' || CAST(i AS VARCHAR)")} % 101 - 50 AS DOUBLE) / 1000.0)) AS v
+  FROM (SELECT vec_id AS vid, v FROM e WHERE vec_id % ${Similarity.PlantEvery} = 0))"""
+
+  val embeddingNearDup: String = {
+    val T = Similarity.NearDupTables
+    val B = Similarity.NearDupBits
     s"""WITH $embCte,
-eb AS (SELECT vec_id, v, ${duckBucket("v")} AS bucket FROM e)
+pl AS (SELECT ${Similarity.duckPlanes(T * B)} AS ps),
+$plantedCorpusCte,
+nv AS (SELECT vec_id, v, ${duckNorm("v")} AS nrm FROM corpus),
+buckets AS (
+  SELECT vec_id, CAST(u.t AS INT) AS tbl, ${duckSignature("v", "CAST(u.t AS INT)", B)} AS bucket
+  FROM corpus, pl, UNNEST(range($T)) u(t)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
 SELECT id_a, id_b, sim FROM (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-    round(${duckCos("a.v", "b.v")}, 6) AS sim
-  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+  SELECT id_a, id_b,
+    round(${duckDot("na.v", "nb.v")} / (na.nrm * nb.nrm), 6) AS sim
+  FROM cand JOIN nv na ON na.vec_id = id_a JOIN nv nb ON nb.vec_id = id_b)
 WHERE sim >= ${Similarity.NearDupCosine} ORDER BY id_a, id_b"""
+  }
 
   // ---- L-stage oracles (graft.textops.LlmFormat) ----
 

