@@ -42,8 +42,11 @@ object SparkEntry {
     // dead-letter scan
     "serve_queue" -> ((s, dir) => graft.serve.Queries.queue(s, dir)),
     "serve_lookup" -> ((s, dir) => graft.serve.Queries.lookup(s, dir, "doc-00000042")),
+    "serve_debug" -> ((s, dir) => graft.serve.Queries.debug(s, dir)),
     "extract_metrics" -> ((s, dir) => graft.serve.Queries.metricsByClass(s, dir)),
     "dead_letter_scan" -> ((s, dir) => graft.serve.Queries.deadLetters(s, dir)),
+    "dead_letter_oversize" -> ((s, dir) => graft.serve.Queries.oversizeDeadLetters(s, dir)),
+    "catalog_models" -> ((s, dir) => graft.serve.Catalog.generateContentModels(s, dir)),
     // training-data ops: dedup family
     "dedup_exact" -> ((s, dir) => graft.textops.Dedup.exact(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => graft.textops.Dedup.ngramJaccard(s, dir)),
@@ -82,8 +85,12 @@ SELECT doc_id, kind, text, media_ref, "offset" FROM synth ORDER BY doc_id, "offs
     "extract_html" -> graft.verify.ExtractOracle.sql(Some(4)),
     "serve_queue" -> graft.verify.ExtractOracle.queueSql,
     "serve_lookup" -> graft.verify.ExtractOracle.lookupSql("doc-00000042"),
+    "serve_debug" -> graft.verify.TextOracles.serveDebug,
     "extract_metrics" -> graft.verify.ExtractOracle.metricsSql,
     "dead_letter_scan" -> graft.verify.ExtractOracle.deadLetterSql,
+    "dead_letter_oversize" -> graft.verify.ExtractOracle.oversizeSql(
+      graft.serve.Queries.OversizeCapChars),
+    "catalog_models" -> graft.verify.TextOracles.catalogModels,
     "dedup_exact" -> graft.verify.TextOracles.dedupExact,
     "dedup_ngram_jaccard" -> graft.verify.TextOracles.ngramJaccard,
     "dedup_minhash_lsh" -> graft.verify.TextOracles.minhashLsh,

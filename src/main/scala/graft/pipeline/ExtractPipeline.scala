@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The resumable extraction job (north_rule: "resumable from checkpoint
@@ -12,17 +13,31 @@ import org.apache.spark.sql.functions._
   *
   * Layout under `outDir` (bucketed Parquet with Iceberg-compatible layout
   * semantics — no Iceberg jar in-sandbox, see SURVEY.md §7.1):
-  *   data/bucket=N/            extracted docs, parquet partitioned by bucket
+  *   data/bucket=N/            extracted docs (+ per-doc n_dead counter),
+  *                             parquet partitioned by bucket
   *   _checkpoints/             (run_id, stage, bucket, status, n_docs,
   *                              n_spans, text_chars, n_images, n_errors,
-  *                              n_dead_letter, started_ts, finished_ts)
+  *                              n_dead_letter, started_ts, finished_ts);
+  *                             a run appends status='running' rows for the
+  *                             buckets it claims, then status='done' rows
+  *                             when they commit — so a crashed run leaves
+  *                             'running' rows the stuck scan (Q6) finds
   *   _lineage/                 (run_id, input_path, code_version,
   *                              params_json, run_ts)
-  *   _metrics/                 alias view of checkpoint counters per bucket
   *
   * Buckets come from `pmod(xxhash64(doc_id), numBuckets)` — uniform for any
   * id distribution (monotonic int-derived ids included), and the output
   * directory partitioning lets resume prune scans to missing buckets only.
+  *
+  * Scan discipline: the job reads its input from storage ONCE. The tagged
+  * projection (bucket + per-doc dead-letter count) persists with
+  * MEMORY_AND_DISK, and the skew salter's light/heavy split plus the heavy
+  * chunk path all read the persisted copy — at deployment scale one
+  * materialized pass (spilling to executor-local disk) beats re-scanning a
+  * remote 100 TB source three times, which is what the naive
+  * dead-agg + light + heavy layout did. Dead-letter counts ride through
+  * extraction as a carried column and are aggregated from the WRITTEN
+  * output, so no separate input-side aggregate exists at all.
   */
 object ExtractPipeline {
 
@@ -39,6 +54,8 @@ object ExtractPipeline {
       docsProcessed: Long)
 
   object BuildInfo { val version = "0.1.0" }
+
+  private val Stage = "extract"
 
   def bucketCol(numBuckets: Int) =
     pmod(xxhash64(col("doc_id")), lit(numBuckets.toLong)).cast("int")
@@ -57,27 +74,59 @@ object ExtractPipeline {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  private def hadoopFs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** One checkpoint row per claimed bucket, status='running' — written from
+    * a driver-local list (bucket ids are 0..numBuckets-1 minus done; no
+    * input scan). The stuck scan keys off these.
+    */
+  private def writeRunningRows(spark: SparkSession, cfg: Config,
+      buckets: Seq[Int], startedTs: String): Unit = {
+    import spark.implicits._
+    if (buckets.isEmpty) return
+    val rows = buckets.toDF("bucket").select(
+      lit(cfg.runId).as("run_id"),
+      lit(Stage).as("stage"),
+      col("bucket"),
+      lit("running").as("status"),
+      lit(null).cast("long").as("n_docs"),
+      lit(null).cast("long").as("n_spans"),
+      lit(null).cast("long").as("text_chars"),
+      lit(null).cast("long").as("n_images"),
+      lit(null).cast("long").as("n_errors"),
+      lit(null).cast("long").as("n_dead_letter"),
+      lit(startedTs).cast("timestamp").as("started_ts"),
+      lit(null).cast("timestamp").as("finished_ts"))
+    rows.coalesce(1).write.mode(SaveMode.Append).parquet(s"${cfg.outDir}/_checkpoints")
+  }
+
   /** Run (or resume) the extraction job. Only buckets without a 'done'
     * checkpoint are computed; their output directories are overwritten
     * atomically via dynamic partition overwrite, so a re-run after a crash
     * is idempotent.
     */
   def run(spark: SparkSession, input: DataFrame, cfg: Config): RunReport = {
-    val stage = "extract"
-    val done = doneBuckets(spark, cfg.outDir, stage)
-    val bucketed = input.withColumn("bucket", bucketCol(cfg.numBuckets))
-    val todo =
-      if (done.isEmpty) bucketed
-      else bucketed.where(!col("bucket").isin(done.toSeq: _*))
-
+    val done = doneBuckets(spark, cfg.outDir, Stage)
     val startedTs = java.time.Instant.now().toString
+    writeRunningRows(spark, cfg,
+      (0 until cfg.numBuckets).filterNot(done), startedTs)
 
-    // dead-letter counts must come from the INPUT side (unknown kinds are
-    // dropped by the kernel); count per (bucket) before extraction
-    val dead = todo.select(col("bucket"),
-      graft.extract.Extractor.deadLetterCount(col("spans")).as("n_dead"))
-      .groupBy("bucket").agg(sum("n_dead").as("n_dead_letter"))
+    // THE input scan: bucket + per-doc dead-letter count tagged in one
+    // projection, persisted so the light/heavy split below re-reads the
+    // materialized copy, not the source (see object scaladoc)
+    val bucketed = input
+      .withColumn("bucket", bucketCol(cfg.numBuckets))
+      .withColumn("n_dead", graft.extract.Extractor.deadLetterCount(col("spans")))
+    val todo =
+      (if (done.isEmpty) bucketed
+       else bucketed.where(!col("bucket").isin(done.toSeq: _*)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // n_dead rides through extraction as a carried column (unknown kinds
+    // are dropped by the kernel, so the count must be taken from the input
+    // side — but it is WRITTEN with the output and aggregated from there)
     val extracted = SkewSalter.extract(todo, cfg.heavyThreshold, cfg.chunkTarget)
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -85,6 +134,7 @@ object ExtractPipeline {
       .mode(SaveMode.Overwrite)
       .partitionBy("bucket")
       .parquet(s"${cfg.outDir}/data")
+    todo.unpersist()
 
     // per-bucket metrics from the WRITTEN output (reads back only the new
     // buckets via partition pruning) — verifies the write like the
@@ -93,7 +143,7 @@ object ExtractPipeline {
     val written = spark.read.parquet(s"${cfg.outDir}/data")
       .where(if (done.isEmpty) lit(true) else !col("bucket").isin(done.toSeq: _*))
     val perBucket = written
-      .select(col("bucket"), col("spans"))
+      .select(col("bucket"), col("spans"), col("n_dead"))
       .groupBy("bucket")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -101,14 +151,13 @@ object ExtractPipeline {
         sum(aggregate(col("spans"), lit(0L),
           (acc, s) => acc + coalesce(length(s.getField("text")), lit(0)))).as("text_chars"),
         sum(size(filter(col("spans"), s => s.getField("kind") === "image"))).as("n_images"),
-        sum(size(filter(col("spans"), s => s.getField("kind") === "error"))).as("n_errors"))
-      .join(dead, Seq("bucket"), "left")
-      .na.fill(0L, Seq("n_dead_letter"))
+        sum(size(filter(col("spans"), s => s.getField("kind") === "error"))).as("n_errors"),
+        sum(col("n_dead")).as("n_dead_letter"))
 
     val finishedTs = java.time.Instant.now().toString
     val ckpt = perBucket.select(
       lit(cfg.runId).as("run_id"),
-      lit(stage).as("stage"),
+      lit(Stage).as("stage"),
       col("bucket"),
       lit("done").as("status"),
       col("n_docs"), col("n_spans"), col("text_chars"),
@@ -137,7 +186,7 @@ object ExtractPipeline {
     */
   def verifyCheckpoints(spark: SparkSession, outDir: String): DataFrame = {
     val ckpt = spark.read.parquet(s"$outDir/_checkpoints")
-      .where(col("stage") === "extract" && col("status") === "done")
+      .where(col("stage") === Stage && col("status") === "done")
       .groupBy("bucket").agg(max("n_docs").as("ckpt_docs"))
     val actual = spark.read.parquet(s"$outDir/data")
       .groupBy("bucket").agg(count(lit(1)).as("data_docs"))
@@ -146,24 +195,60 @@ object ExtractPipeline {
         col("ckpt_docs") =!= col("data_docs"))
   }
 
+  /** Q6 analog — the stuck-doc scan (reference fix_extraction_bug.py:48-53:
+    * `status IN non-terminal AND created_at < now()-1h`): buckets whose
+    * LATEST checkpoint row is still 'running' and older than
+    * `olderThanHours` — a run claimed them and never committed. The
+    * monitoring query every operator of a long-running pipeline runs first.
+    */
+  def staleCheckpoints(spark: SparkSession, outDir: String,
+      olderThanHours: Double): DataFrame = {
+    val path = s"$outDir/_checkpoints"
+    val ckpt = spark.read.parquet(path).where(col("stage") === Stage)
+    // ties (a run's running+done rows share started_ts): 'done' wins
+    val w = Window.partitionBy("bucket")
+      .orderBy(desc("started_ts"), asc("status"))
+    val olderThanSec = math.round(olderThanHours * 3600)
+    ckpt.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("status") === "running" &&
+        col("started_ts") < current_timestamp() - expr(s"INTERVAL $olderThanSec SECONDS"))
+      .select("run_id", "bucket", "status", "started_ts")
+  }
+
   /** P6 analog — retention cleanup (reference workers.py:347-390,
-    * utils.py:476-502): drop checkpoint/lineage rows older than
-    * `maxAgeHours` for runs no longer needed. Returns rows kept.
+    * utils.py:476-502): drop checkpoint AND lineage rows older than
+    * `maxAgeHours`. Returns checkpoint rows kept.
+    *
+    * Crash-safe rewrite: new store is written to `<path>_tmp`, the old
+    * store is renamed ASIDE to `<path>_old` (not deleted), the new one is
+    * renamed in, then the old copy is dropped. A crash at any point leaves
+    * either the original or the `_old` copy on disk — never zero copies
+    * (the previous delete-then-rename had a window that lost the whole
+    * store, forcing a full recompute on resume).
     */
   def cleanupCheckpoints(spark: SparkSession, outDir: String, maxAgeHours: Int): Long = {
-    val path = s"$outDir/_checkpoints"
+    val cutoff = current_timestamp() - expr(s"INTERVAL $maxAgeHours HOURS")
+    rewriteKeeping(spark, s"$outDir/_lineage", col("run_ts") >= cutoff)
+    rewriteKeeping(spark, s"$outDir/_checkpoints", col("finished_ts") >= cutoff ||
+      // keep 'running' rows younger than the cutoff too (no finished_ts)
+      (col("finished_ts").isNull && col("started_ts") >= cutoff))
+  }
+
+  private def rewriteKeeping(spark: SparkSession, path: String,
+      keep: org.apache.spark.sql.Column): Long = {
     if (!fileExists(spark, path)) return 0L
-    val kept = spark.read.parquet(path)
-      .where(col("finished_ts") >= current_timestamp() - expr(s"INTERVAL $maxAgeHours HOURS"))
-      .cache()
+    val kept = spark.read.parquet(path).where(keep).cache()
     val n = kept.count()
-    kept.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$outDir/_checkpoints_tmp")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$outDir/_checkpoints_tmp"),
-      new org.apache.hadoop.fs.Path(path))
+    kept.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"${path}_tmp")
     kept.unpersist()
+    val fs = hadoopFs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val pTmp = new org.apache.hadoop.fs.Path(s"${path}_tmp")
+    val pOld = new org.apache.hadoop.fs.Path(s"${path}_old")
+    if (fs.exists(pOld)) fs.delete(pOld, true) // leftover from a past crash
+    fs.rename(p, pOld)
+    fs.rename(pTmp, p)
+    fs.delete(pOld, true)
     n
   }
 }

@@ -23,7 +23,7 @@ import scala.collection.mutable.ArrayBuffer
   * sentinels) is provably equal to whole-document extraction — a run is
   * never split, so each run's serialization is byte-identical, and
   * consecutive runs always emit separate output spans anyway. Verified by
-  * property test in ChunkEquivalenceSpec.
+  * the chunk-equivalence property tests in SkewSalterSpec.
   */
 object SpanChunker {
 

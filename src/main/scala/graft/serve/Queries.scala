@@ -2,7 +2,7 @@ package graft.serve
 
 import graft.extract.Extractor
 import graft.synth.SpanSynth
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference's relational serving surface re-expressed over the
@@ -78,4 +78,89 @@ object Queries {
       .where(!col("kind").isin(graft.model.Schemas.knownKinds: _*))
       .select(col("doc_id"), col("kind"), col("offset"))
       .orderBy(col("doc_id"), col("offset"))
+
+  /** V2 size-cap analog (reference utils.py:504-506, enforced
+    * main.py:258-264 — default 50 MB): one aggregate over the input span
+    * array; a 10^12-doc job records the oversize row and continues instead
+    * of rejecting the request. The cap is frozen low here so the sandbox
+    * corpus (per-doc span chars p95 ~794, max 975) actually exercises the
+    * predicate.
+    */
+  val OversizeCapChars = 800L
+
+  /** Oversize dead-letter scan: docs whose total input span chars exceed
+    * [[OversizeCapChars]].
+    */
+  def oversizeDeadLetters(spark: SparkSession, sfDir: String): DataFrame =
+    SpanSynth.docsInput(spark, sfDir)
+      .select(col("doc_id"),
+        aggregate(col("spans"), lit(0L),
+          (acc, s) => acc + coalesce(length(s.getField("text")), lit(0))).as("span_chars"))
+      .where(col("span_chars") > OversizeCapChars)
+      .select(col("doc_id"), col("span_chars"), lit("oversize").as("reason"))
+      .orderBy("doc_id")
+
+  /** V5 — kind→tool-label projection (reference main.py:155-164 maps
+    * file types to Tesseract OCR / python-docx / openpyxl / Unknown).
+    * Our synth doc classes map 1:1 to the reference's file types.
+    */
+  def toolLabel(cls: Column): Column =
+    when(cls === 0, lit("python-docx"))
+      .when(cls === 1, lit("openpyxl"))
+      .when(cls === 2, lit("PyMuPDF + Tesseract OCR"))
+      .when(cls === 3, lit("Tesseract OCR"))
+      .when(cls === 4, lit("HTML boilerplate strip"))
+      .otherwise(lit("Unknown"))
+
+  /** Q3 — the full debug projection (reference main.py:453-484): per doc,
+    * the 3-part debug view with lengths — (1) extracted content + the tool
+    * that produced it, (2) the full prompt sent, (3) raw vs formatted
+    * response. Pure projection over the extracted output joined with the
+    * LLM-stage columns; scales as a map-side join on doc_id.
+    */
+  def debug(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.textops.LlmFormat
+    val out = Extractor.extract(SpanSynth.docsInput(spark, sfDir))
+    val ex = out.select(
+      col("doc_id"),
+      substring(col("doc_id"), 5, 8).cast("long").as("did"),
+      array_join(transform(
+        filter(col("spans"), s => s.getField("kind") === "text"),
+        s => s.getField("text")), "\n").as("extracted_content"))
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val m = pmod(d("doc_id"), lit(3L))
+    val fmt = when(m < 2, lit(LlmFormat.AnswerTemplate)).otherwise(lit(null).cast("string"))
+    val exm = when(m === 0, lit(LlmFormat.AnswerExample)).otherwise(lit(null).cast("string"))
+    val llm = d.select(
+      d("doc_id").as("did"),
+      LlmFormat.promptBuild(d("text"), lit(LlmFormat.Question), fmt, exm).as("full_prompt"),
+      LlmFormat.syntheticReply(d).as("raw_response"))
+      .withColumn("formatted_response",
+        LlmFormat.format_best_effort(col("raw_response"), lit(LlmFormat.Template),
+          lit(null).cast("string")))
+    ex.join(llm, Seq("did"))
+      .select(
+        col("doc_id"),
+        toolLabel(pmod(col("did"), lit(5L))).as("tool"),
+        col("extracted_content"),
+        length(col("extracted_content")).as("content_chars"),
+        col("full_prompt"),
+        length(col("full_prompt")).as("prompt_chars"),
+        col("raw_response"),
+        length(col("raw_response")).as("response_chars"),
+        col("formatted_response"),
+        length(col("formatted_response")).as("formatted_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** V3 — provider/header validation (reference main.py:224-237): a
+    * submit-time `require`, not a dataflow op. Gemini additionally needs a
+    * key.
+    */
+  def validateProvider(provider: String, geminiKey: Option[String]): Unit = {
+    require(Set("ollama", "gemini").contains(provider),
+      s"ai_provider must be 'ollama' or 'gemini', got '$provider'")
+    if (provider == "gemini")
+      require(geminiKey.exists(_.nonEmpty), "gemini provider requires an API key")
+  }
 }

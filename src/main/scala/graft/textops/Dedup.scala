@@ -71,11 +71,19 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"), 6)
           .as("jaccard"))
 
-  /** N-gram Jaccard near-dup with prefix blocking: candidate pairs share a
-    * cheap block key (first [[BlockWords]] words), exact Jaccard filters
-    * them. The block key bounds the join fan-out quadratically — at scale
-    * widen/narrow the prefix (or use a length bucket) without touching the
-    * shape.
+  /** N-gram Jaccard near-dup with composite blocking: candidate pairs must
+    * share (first-[[BlockWords]]-words prefix, shingle-count bucket).
+    *
+    * The prefix alone is quadratic WITHIN a block — on a clustered web
+    * corpus a common prefix ("the ...") degenerates toward all-pairs. The
+    * secondary key is `floor(log2(|shingles|))`, and every doc is emitted
+    * at buckets {b, b+1, b+2}; for J >= 0.4, |A∩B| <= min and |A∪B| >= max
+    * force min/max >= 0.4 > 1/2.5, so the two docs' buckets differ by at
+    * most 2 and ALWAYS share an emitted key — recall is exact, while a
+    * same-prefix block of mixed sizes splits into bounded sub-blocks.
+    *
+    * Join shape mirrors MinHash-LSH: the block join carries only
+    * (doc_id, key), candidate ids dedupe BEFORE shingle arrays join back.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String,
       threshold: Double = 0.4): DataFrame = {
@@ -85,10 +93,22 @@ object Dedup {
       .select(d("doc_id"),
         array_join(slice(wordsOf(d("text")), 1, BlockWords), " ").as("block"),
         shingles(d("text")).as("sh"))
+      // floor(log2(n)) via binary-string length — exact integer semantics
+      // in both Spark (conv) and DuckDB (bin), no float log edge cases
+      .withColumn("lb",
+        (length(conv(size(col("sh")).cast("string"), 10, 2)) - 1).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = base.select(col("doc_id").as("id_a"), col("block"), col("sh").as("sh_a"))
-    val b = base.select(col("doc_id").as("id_b"), col("block"), col("sh").as("sh_b"))
-    withJaccard(a.join(b, a("block") === b("block") && col("id_a") < col("id_b")))
+    val keyed = base.select(col("doc_id"), col("block"),
+      explode(array(col("lb"), col("lb") + 1, col("lb") + 2)).as("lb"))
+    val a = keyed.select(col("doc_id").as("id_a"), col("block"), col("lb"))
+    val b = keyed.select(col("doc_id").as("id_b"), col("block"), col("lb"))
+    val cand = a.join(b, Seq("block", "lb")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sh = base.select(col("doc_id"), col("sh"))
+    val pairs = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    withJaccard(pairs)
       .where(col("jaccard") >= threshold)
       .orderBy("id_a", "id_b")
   }

@@ -194,23 +194,32 @@ object LlmFormat {
       .orderBy("doc_id")
   }
 
-  /** L4 query: the cascade over 4 reply shapes (valid JSON / embedded JSON
-    * / key-value text / free text), cycling with doc_id % 4.
+  /** Deterministic synthetic LLM reply cycling over 4 shapes with
+    * doc_id % 4 (valid JSON / embedded JSON / key-value text / free text) —
+    * the input both the L4 query and the serve debug projection feed to the
+    * cascade.
     */
-  def formatResponseQuery(spark: SparkSession, sfDir: String): DataFrame = {
+  def syntheticReply(d: DataFrame): Column = {
     import org.apache.spark.sql.functions._
-    val d = docsDf(spark, sfDir)
     val w1 = coalesce(nullif(element_at(split(d("text"), " "), 1), lit("")), lit("empty"))
     val n = pmod(d("doc_id"), lit(100L))
-    val resp = when(pmod(d("doc_id"), lit(4L)) === 0,
+    when(pmod(d("doc_id"), lit(4L)) === 0,
       concat(lit("{\"name\": \""), w1, lit("\", \"total\": "), n, lit("}")))
       .when(pmod(d("doc_id"), lit(4L)) === 1,
         concat(lit("Result follows: {\"name\": \""), w1, lit("\"} -- end")))
       .when(pmod(d("doc_id"), lit(4L)) === 2,
         concat(lit("name: "), w1, lit(", total: "), n, lit(".5\ndate: 12/03/2024")))
       .otherwise(concat(lit("   no structured data about "), w1, lit("   ")))
+  }
+
+  /** L4 query: the cascade over 4 reply shapes (valid JSON / embedded JSON
+    * / key-value text / free text), cycling with doc_id % 4.
+    */
+  def formatResponseQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val d = docsDf(spark, sfDir)
     d.select(d("doc_id"),
-      format_best_effort(resp, lit(Template), lit(null).cast("string"))
+      format_best_effort(syntheticReply(d), lit(Template), lit(null).cast("string"))
         .as("formatted"))
       .orderBy("doc_id")
   }

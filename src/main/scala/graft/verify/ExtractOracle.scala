@@ -164,4 +164,14 @@ GROUP BY cls ORDER BY cls"""
 SELECT doc_id, kind, "offset" FROM synth
 WHERE kind NOT IN ('text', 'pdf', 'ocr', 'html', 'image')
 ORDER BY doc_id, "offset""""
+
+  /** V2 oversize dead-letter scan (serve
+    * [[graft.serve.Queries.oversizeDeadLetters]]).
+    */
+  def oversizeSql(capChars: Long): String =
+    s"""WITH ${SpanSynth.duckdbFlatCte}
+SELECT doc_id, span_chars, 'oversize' AS reason FROM (
+  SELECT doc_id, CAST(sum(coalesce(len(text), 0)) AS BIGINT) AS span_chars
+  FROM synth GROUP BY doc_id)
+WHERE span_chars > $capChars ORDER BY doc_id"""
 }

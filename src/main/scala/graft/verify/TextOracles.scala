@@ -77,12 +77,20 @@ FROM w ORDER BY doc_id"""
   FROM base)"""
 
   val ngramJaccard: String =
-    s"""WITH $shinglesCte
+    s"""WITH $shinglesCte,
+lbd AS (SELECT doc_id, block, sh, CAST(len(bin(len(sh))) - 1 AS INT) AS lb FROM sh),
+keyed AS (
+  SELECT doc_id, block, lb + CAST(u.k AS INT) AS lb
+  FROM lbd, UNNEST(range(3)) u(k)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keyed a JOIN keyed b
+    ON a.block = b.block AND a.lb = b.lb AND a.doc_id < b.doc_id)
 SELECT id_a, id_b, jaccard FROM (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-          CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jaccard
-  FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id)
+  SELECT id_a, id_b,
+    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+          CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE), 6) AS jaccard
+  FROM cand JOIN lbd sa ON sa.doc_id = id_a JOIN lbd sb ON sb.doc_id = id_b)
 WHERE jaccard >= 0.4 ORDER BY id_a, id_b"""
 
   val minhashLsh: String = {
@@ -250,12 +258,14 @@ WHERE sim >= ${Similarity.NearDupCosine} ORDER BY id_a, id_b"""
 
   import graft.textops.LlmFormat
 
-  val promptBuild: String = {
+  /** The L1 prompt expression over `documents` columns (shared by the
+    * prompt-build oracle and the serve-debug oracle).
+    */
+  private val promptExprSql: String = {
     val q = LlmFormat.Question
     val fmtIns = s"""chr(10) || chr(10) || 'Return the answer as JSON matching this format: ' || '${LlmFormat.AnswerTemplate}'"""
     val exIns = s"""chr(10) || 'Example: ' || '${LlmFormat.AnswerExample}'"""
-    s"""SELECT doc_id,
-  'Context: ' ||
+    s"""'Context: ' ||
   (CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = ''
         THEN '${LlmFormat.EmptyContextSentinel}' ELSE text END) ||
   chr(10) || chr(10) || 'Question: ' || '$q' ||
@@ -263,10 +273,12 @@ WHERE sim >= ${Similarity.NearDupCosine} ORDER BY id_a, id_b"""
      WHEN 0 THEN $fmtIns || $exIns
      WHEN 1 THEN $fmtIns
      ELSE '' END) ||
-  chr(10) || chr(10) || 'Based on the context above, answer directly and objectively.'
-  AS full_prompt
-FROM documents ORDER BY doc_id"""
+  chr(10) || chr(10) || 'Based on the context above, answer directly and objectively.'"""
   }
+
+  val promptBuild: String =
+    s"""SELECT doc_id, $promptExprSql AS full_prompt
+FROM documents ORDER BY doc_id"""
 
   /** DuckDB mirror of the L5 battery for one key over column `resp`. */
   private def duckBattery(key: String): String = {
@@ -305,6 +317,83 @@ SELECT doc_id,
     WHEN 2 THEN '{"name": "' || w1 || '", "total": "' || n || '.5"}'
     ELSE 'no structured data about ' || w1 END AS formatted
 FROM w ORDER BY doc_id"""
+
+  /** The synthetic raw LLM reply (mirrors
+    * [[graft.textops.LlmFormat.syntheticReply]]) over `documents` columns.
+    */
+  private val rawReplyExprSql: String =
+    """CASE doc_id % 4
+    WHEN 0 THEN '{"name": "' || w1 || '", "total": ' || n || '}'
+    WHEN 1 THEN 'Result follows: {"name": "' || w1 || '"} -- end'
+    WHEN 2 THEN 'name: ' || w1 || ', total: ' || n || '.5' || chr(10) || 'date: 12/03/2024'
+    ELSE '   no structured data about ' || w1 || '   ' END"""
+
+  /** Expected L4 output for the synthetic reply, analytically (same CASE as
+    * [[formatResponse]]).
+    */
+  private val formattedExprSql: String =
+    """CASE doc_id % 4
+    WHEN 0 THEN '{"name": "' || w1 || '", "total": ' || n || '}'
+    WHEN 1 THEN '{"name": "' || w1 || '"}'
+    WHEN 2 THEN '{"name": "' || w1 || '", "total": "' || n || '.5"}'
+    ELSE 'no structured data about ' || w1 END"""
+
+  /** Q3 debug projection oracle ([[graft.serve.Queries.debug]]): extracted
+    * content + V5 tool label, full prompt, raw vs formatted response, with
+    * lengths.
+    */
+  val serveDebug: String =
+    s"""WITH ex AS (
+  SELECT doc_id, CAST(substr(doc_id, 5) AS BIGINT) AS did,
+    coalesce(string_agg(text, chr(10) ORDER BY "offset") FILTER (WHERE kind = 'text'), '') AS extracted_content
+  FROM (${ExtractOracle.sql(None)})
+  GROUP BY doc_id),
+llm AS (
+  SELECT doc_id AS did,
+    $promptExprSql AS full_prompt,
+    $rawReplyExprSql AS raw_response,
+    $formattedExprSql AS formatted_response
+  FROM (SELECT doc_id, text,
+          coalesce(nullif(string_split(text, ' ')[1], ''), 'empty') AS w1,
+          CAST(doc_id % 100 AS VARCHAR) AS n
+        FROM documents))
+SELECT ex.doc_id,
+  CASE ex.did % 5 WHEN 0 THEN 'python-docx' WHEN 1 THEN 'openpyxl'
+    WHEN 2 THEN 'PyMuPDF + Tesseract OCR' WHEN 3 THEN 'Tesseract OCR'
+    WHEN 4 THEN 'HTML boilerplate strip' ELSE 'Unknown' END AS tool,
+  extracted_content, len(extracted_content) AS content_chars,
+  full_prompt, len(full_prompt) AS prompt_chars,
+  raw_response, len(raw_response) AS response_chars,
+  formatted_response, len(formatted_response) AS formatted_chars
+FROM ex JOIN llm ON ex.did = llm.did
+ORDER BY ex.doc_id"""
+
+  /** Q8 catalog filter-project-sort oracle
+    * ([[graft.serve.Catalog.generateContentModels]]).
+    */
+  val catalogModels: String = {
+    import graft.serve.Catalog
+    val vts = Catalog.VersionTokens.map(v => s"'$v'").mkString("[", ", ", "]")
+    s"""WITH cat AS (
+  SELECT 'models/' || source || '-' || vt AS name,
+    'Serves ' || lang || ' corpora from ' || source || ' with seed ' ||
+      CAST(did AS VARCHAR) || '. Suited for extraction pipelines. Snapshot v' || vt AS description,
+    list_concat(list_concat(['countTokens'],
+      CASE WHEN did % 3 <> 0 THEN ['generateContent'] ELSE CAST([] AS VARCHAR[]) END),
+      CASE WHEN did % 4 = 0 THEN ['embedContent'] ELSE CAST([] AS VARCHAR[]) END) AS methods
+  FROM (SELECT doc_id AS did, source, lang,
+          ($vts)[CAST(${h32("'model-' || CAST(doc_id AS VARCHAR)")} % ${Catalog.VersionTokens.size} AS INT) + 1] AS vt
+        FROM documents WHERE doc_id < ${Catalog.NumModels})),
+proj AS (
+  SELECT regexp_replace(name, '^models/', '') AS model,
+    string_split(description, '.')[1] AS summary
+  FROM cat WHERE list_contains(methods, 'generateContent'))
+SELECT model, summary,
+  contains(model, '2.5') AS pref_25, contains(model, '2.0') AS pref_20,
+  contains(model, '1.5') AS pref_15, contains(model, 'flash') AS pref_flash
+FROM proj
+ORDER BY pref_25 DESC, pref_20 DESC, pref_15 DESC, pref_flash DESC, model, summary"""
+  }
 
   /** Media features over the extracted output's image spans — mirrors the
     * deterministic stub decode in graft.media.MediaFeatures.

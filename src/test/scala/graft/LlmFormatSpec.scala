@@ -59,4 +59,38 @@ class LlmFormatSpec extends AnyFunSuite {
   test("null reply passes through") {
     assert(LlmFormat.formatBestEffort(null, "{}", null) === null)
   }
+
+  test("battery keys must be plain identifiers (regex-injection guard)") {
+    intercept[IllegalArgumentException](LlmFormat.keyPatterns("a.b"))
+    intercept[IllegalArgumentException](LlmFormat.keyPatterns("k(1)"))
+    assert(LlmFormat.keyPatterns("total_2").nonEmpty)
+  }
+
+  test("provider validation (V3) accepts known providers, rejects the rest") {
+    import graft.serve.Queries.validateProvider
+    validateProvider("ollama", None)
+    validateProvider("gemini", Some("key-123"))
+    intercept[IllegalArgumentException](validateProvider("openai", None))
+    intercept[IllegalArgumentException](validateProvider("gemini", None))
+    intercept[IllegalArgumentException](validateProvider("gemini", Some("")))
+  }
+}
+
+/** Corpus-property guard (oracle assumption): the formatResponse oracle
+  * derives L4 outputs ANALYTICALLY assuming document first-words trigger no
+  * fallback battery pattern (digits/quotes/braces). Holds for the shipped
+  * corpora; if testdata is ever regenerated with a richer vocabulary this
+  * fails loudly instead of silently diverging from DuckDB.
+  */
+class FormatOracleCorpusGuardSpec extends AnyFunSuite with SparkSpec {
+  test("first words of documents contain no digits, quotes, or braces") {
+    import org.apache.spark.sql.functions._
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val bad = spark.read.parquet(s"$dir/documents.parquet")
+        .select(element_at(split(col("text"), " "), 1).as("w1"))
+        .where(col("w1").rlike("[\\d\"{}\\[\\]]"))
+        .count()
+      assert(bad === 0L, s"$dir has $bad battery-triggering first words")
+    }
+  }
 }

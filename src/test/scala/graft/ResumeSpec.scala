@@ -89,4 +89,64 @@ class ResumeSpec extends AnyFunSuite with SparkSpec {
     assert(data.select("doc_id").distinct().count() === input.count())
     assert(ExtractPipeline.verifyCheckpoints(spark, out).count() === 0)
   }
+
+  test("stuck scan (Q6) flags claimed-but-uncommitted buckets only") {
+    val out = freshDir()
+    val B = 8
+    // crashed run: all 8 buckets claimed 'running', only 0-3 committed
+    val partial = input.where(ExtractPipeline.bucketCol(B) < 4)
+    ExtractPipeline.run(spark, partial,
+      ExtractPipeline.Config(out, "run-1", numBuckets = B))
+    val stale = ExtractPipeline.staleCheckpoints(spark, out, olderThanHours = 0.0)
+      .collect()
+    assert(stale.map(_.getAs[Int]("bucket")).sorted.toSeq === Seq(4, 5, 6, 7))
+    assert(stale.forall(_.getAs[String]("status") === "running"))
+
+    // resume commits the rest; nothing is stuck afterwards
+    ExtractPipeline.run(spark, input,
+      ExtractPipeline.Config(out, "run-2", numBuckets = B))
+    assert(ExtractPipeline.staleCheckpoints(spark, out, 0.0).count() === 0)
+  }
+
+  test("retention cleanup (P6) keeps young rows, drops expired, crash-safe") {
+    val out = freshDir()
+    ExtractPipeline.run(spark, input,
+      ExtractPipeline.Config(out, "r1", numBuckets = 4))
+    val before = spark.read.parquet(s"$out/_checkpoints").count()
+
+    // young rows survive a 24h retention pass; resume stays a no-op
+    val kept = ExtractPipeline.cleanupCheckpoints(spark, out, maxAgeHours = 24)
+    assert(kept === before)
+    assert(spark.read.parquet(s"$out/_lineage").count() === 1)
+    val noop = ExtractPipeline.run(spark, input,
+      ExtractPipeline.Config(out, "r2", numBuckets = 4))
+    assert(noop.docsProcessed === 0)
+
+    // zero retention expires everything; the store rewrites without a
+    // delete window (_old/_tmp staging dirs must be gone afterwards)
+    val kept0 = ExtractPipeline.cleanupCheckpoints(spark, out, maxAgeHours = 0)
+    assert(kept0 === 0)
+    assert(spark.read.parquet(s"$out/_checkpoints").count() === 0)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/_checkpoints_old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/_checkpoints_tmp")))
+    // expired checkpoints mean the next run recomputes from scratch
+    val redo = ExtractPipeline.run(spark, input,
+      ExtractPipeline.Config(out, "r3", numBuckets = 4))
+    assert(redo.bucketsDone === 0 && redo.docsProcessed === input.count())
+  }
+
+  test("written output carries per-doc dead-letter counts into checkpoints") {
+    val out = freshDir()
+    ExtractPipeline.run(spark, input,
+      ExtractPipeline.Config(out, "r1", numBuckets = 4))
+    val fromCkpt = spark.read.parquet(s"$out/_checkpoints")
+      .agg(sum("n_dead_letter")).collect()(0).getLong(0)
+    val fromInput = input
+      .select(graft.extract.Extractor.deadLetterCount(col("spans")).as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(fromCkpt === fromInput)
+    assert(fromInput > 0) // the synth corpus plants unknown-kind spans
+  }
 }
