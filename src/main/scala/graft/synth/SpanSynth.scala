@@ -42,12 +42,22 @@ object SpanSynth {
         col("s.media_ref").as("media_ref"), col("s.offset").as("offset"))
   }
 
-  /** Build the nested span table from the flat documents table.
-    * Pure column ops (higher-order functions) — one output row per input
-    * row, no explode, no shuffle: at 100 TB each document's spans are
-    * assembled inside its own row.
+  /** Build the nested span table from the flat documents table — fast path
+    * via the native [[SynthKernel]] expression (equivalence-tested against
+    * [[synthColumnar]]). One output row per input row, no explode, no
+    * shuffle: at 100 TB each document's spans are assembled inside its own
+    * row.
     */
-  def synth(docs: DataFrame): DataFrame = {
+  def synth(docs: DataFrame): DataFrame =
+    docs.select(
+      concat(lit("doc-"), lpad(docs("doc_id").cast("string"), 8, "0")).as("doc_id"),
+      SynthKernel.synth_spans(docs("doc_id"), docs("text")).as("spans"))
+
+  /** Same semantics, pure Catalyst column ops (higher-order functions
+    * only) — the UDF-free reference implementation the equivalence spec
+    * pins the kernel against.
+    */
+  def synthColumnar(docs: DataFrame): DataFrame = {
     // docs("...") pins resolution to the child plan — with an unresolved
     // col("doc_id"), lateral-column-alias resolution would capture the
     // aliased STRING doc_id output of this very select.

@@ -33,6 +33,13 @@ class ExtractEquivalenceSpec extends AnyFunSuite with SparkSpec {
     } finally in.unpersist()
   }
 
+  test("native synth kernel == columnar synth (full sf0.001)") {
+    val docs = SpanSynth.loadDocuments(spark, sfDir).cache()
+    try {
+      assert(flat(SpanSynth.synth(docs)) === flat(SpanSynth.synthColumnar(docs)))
+    } finally docs.unpersist()
+  }
+
   test("extraction result invariant under repartition") {
     val in = SpanSynth.docsInput(spark, sfDir)
       .where(substring(col("doc_id"), 5, 8).cast("long") < 200)
