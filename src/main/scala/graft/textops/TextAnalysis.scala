@@ -1,7 +1,12 @@
 package graft.textops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Corpus-level text analysis for training-data pipelines: language ID,
   * quality scoring, token counting, document fingerprinting. All pure
@@ -82,16 +87,55 @@ object TextAnalysis {
   /** Document fingerprint: minimum keyed hash over the rolling window of
     * word 5-grams (winnowing-style min-fingerprint); short docs fall back
     * to whole-text hash. Robust to local edits outside the minimal gram.
+    * Fast path is the native [[FingerprintExpr]] (one Scala pass; the
+    * column-op twin below is the reference, parity-pinned in
+    * PortableHashSpec — the interpreted HOF re-hashes per element and was
+    * the slowest query in the suite).
     */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     val d = loadDocs(spark, sfDir)
-    val ws = words(d("text"))
+    d.select(d("doc_id"), fingerprint60(d("text")).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  /** Scala twin: min md5-prefix over word 5-grams, whole-text fallback. */
+  def fingerprintScala(text: String): Long = {
+    val ws = text.split(" ", -1)
+    val n = ws.length
+    if (n < 5) return PortableHash.hexint60(text)
+    var min = Long.MaxValue
+    var i = 0
+    while (i <= n - 5) {
+      val h = PortableHash.hexint60(
+        s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)} ${ws(i + 3)} ${ws(i + 4)}")
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+
+  /** Column-op reference implementation (what the DuckDB oracle mirrors). */
+  def fingerprintColumnar(text: Column): Column = {
+    val ws = words(text)
     val nw = size(ws)
     val grams = transform(sequence(lit(0), nw - 5),
       i => array_join(slice(ws, i + 1, lit(5)), " "))
-    val fp = when(nw >= 5,
+    when(nw >= 5,
       array_min(transform(grams, g => PortableHash.hexint60(g))))
-      .otherwise(PortableHash.hexint60(d("text")))
-    d.select(d("doc_id"), fp.as("fingerprint")).orderBy("doc_id")
+      .otherwise(PortableHash.hexint60(text))
   }
+
+  def fingerprint60(c: Column): Column =
+    ColumnShim.column(FingerprintExpr(ColumnShim.expression(c)))
+}
+
+/** Catalyst expression wrapping [[TextAnalysis.fingerprintScala]]. */
+case class FingerprintExpr(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextAnalysis.fingerprintScala(input.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(newChild: Expression): FingerprintExpr =
+    copy(child = newChild)
+  override def prettyName: String = "fingerprint60"
 }

@@ -33,6 +33,19 @@ class PortableHashSpec extends AnyFunSuite with SparkSpec {
     assert(fromSpark.toSeq === inputs.map(SimHash.simhash))
   }
 
+  test("native fingerprint60 == columnar reference == Scala twin") {
+    import graft.textops.TextAnalysis
+    import spark.implicits._
+    val inputs = Seq("", "a b c", "one two three four five",
+      "one two three four five six seven", "the  double  space case x y z")
+    val df = inputs.toDF("s").cache()
+    val native = df.select(TextAnalysis.fingerprint60(col("s"))).collect().map(_.getLong(0))
+    val columnar = df.select(TextAnalysis.fingerprintColumnar(col("s"))).collect().map(_.getLong(0))
+    assert(native.toSeq === columnar.toSeq)
+    assert(native.toSeq === inputs.map(TextAnalysis.fingerprintScala))
+    df.unpersist()
+  }
+
   test("media stub decode is deterministic and in documented ranges") {
     val f = graft.media.MediaFeatures.decodeOne(
       graft.media.MediaFeatures.MediaRef("d", "media://d/0", 1))
