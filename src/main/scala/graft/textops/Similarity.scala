@@ -1,7 +1,12 @@
 package graft.textops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Similarity search over the embedding column (`array<float>`, dim 64):
   * brute-force cosine top-k as the exact baseline, and seeded
@@ -87,12 +92,44 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** B-bit sign signature of `emb` for LSH table `t` over the plane pool. */
+  /** B-bit sign signature of `emb` for LSH table `t` over the plane pool —
+    * column-op reference implementation (what the DuckDB oracle mirrors;
+    * parity-pinned against the native kernel in SimilaritySpec).
+    */
   def tableSignature(emb: Column, t: Int, bits: Int): Column =
     (0 until bits).map { j =>
       when(dot(emb, typedLit(PlanePool(t * bits + j))) > 0.0, lit(1L << j))
         .otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Scala twin: all `tables` signatures in one pass. Dot products fold
+    * left-to-right from 0.0, bit-identical with the column/DuckDB forms.
+    */
+  def signaturesScala(v: Array[Double], tables: Int, bits: Int): Array[Long] = {
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var j = 0
+      while (j < bits) {
+        val plane = PlanePool(t * bits + j)
+        var d = 0.0
+        var i = 0
+        while (i < Dim) { d += v(i) * plane(i); i += 1 }
+        if (d > 0.0) sig |= 1L << j
+        j += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    out
+  }
+
+  /** `rh_signatures(e)` as a Column — native single-pass signature kernel
+    * (the column-op form evaluates tables*bits interpreted HOF folds/row).
+    */
+  def rhSignatures(e: Column, tables: Int, bits: Int): Column =
+    ColumnShim.column(RhSignaturesExpr(ColumnShim.expression(e), tables, bits))
 
   /** (vec_id, e, nrm[, label]) with the norm projected once. */
   private def withNorm(df: DataFrame): DataFrame =
@@ -141,8 +178,8 @@ object Similarity {
       .select(col("vec_id"), col("label"), dbl(col("embedding")).as("e")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = vecs.select(col("vec_id"),
-      posexplode(array((0 until TopKTables).map(t =>
-        tableSignature(col("e"), t, TopKBits)): _*)).as(Seq("tbl", "bucket")))
+      posexplode(rhSignatures(col("e"), TopKTables, TopKBits))
+        .as(Seq("tbl", "bucket")))
     val qprobes = buckets.where(col("vec_id") === QueryVecId)
       .select(col("tbl"), explode(array(
         (0 until TopKBits).map(j => col("bucket").bitwiseXOR(lit(1L << j))) :+
@@ -170,8 +207,8 @@ object Similarity {
     val vecs = withNorm(plantedCorpus(spark, sfDir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = vecs.select(col("vec_id"),
-      posexplode(array((0 until NearDupTables).map(t =>
-        tableSignature(col("e"), t, NearDupBits)): _*)).as(Seq("tbl", "bucket")))
+      posexplode(rhSignatures(col("e"), NearDupTables, NearDupBits))
+        .as(Seq("tbl", "bucket")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = buckets.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"))
     val b = buckets.select(col("vec_id").as("id_b"), col("tbl"), col("bucket"))
@@ -186,4 +223,20 @@ object Similarity {
       .where(col("sim") >= NearDupCosine)
       .orderBy("id_a", "id_b")
   }
+}
+
+/** Catalyst expression wrapping [[Similarity.signaturesScala]]: all
+  * `tables` B-bit sign signatures of a double vector in one pass.
+  */
+case class RhSignaturesExpr(child: Expression, tables: Int, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData].toDoubleArray()
+    new GenericArrayData(
+      Similarity.signaturesScala(v, tables, bits).map(Long.box).toArray[Any])
+  }
+  override protected def withNewChildInternal(newChild: Expression): RhSignaturesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "rh_signatures"
 }

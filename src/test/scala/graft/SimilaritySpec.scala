@@ -39,6 +39,20 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(sigs.forall(r => r.getLong(1) >= 0 && r.getLong(1) < (1L << Similarity.TopKBits)))
   }
 
+  test("native rh_signatures == columnar tableSignature (both configs)") {
+    val emb = Similarity.plantedCorpus(spark, sfDir).limit(80).cache()
+    for ((t, b) <- Seq((Similarity.NearDupTables, Similarity.NearDupBits),
+        (Similarity.TopKTables, Similarity.TopKBits))) {
+      val native = emb.select(Similarity.rhSignatures(col("e"), t, b))
+        .collect().map(_.getSeq[Long](0))
+      val columnar = emb.select(array((0 until t).map(i =>
+        Similarity.tableSignature(col("e"), i, b)): _*))
+        .collect().map(_.getSeq[Long](0))
+      assert(native.toSeq === columnar.toSeq, s"tables=$t bits=$b")
+    }
+    emb.unpersist()
+  }
+
   test("near-dup finds nearly all planted pairs at high similarity") {
     val out = Similarity.embeddingNearDup(spark, sfDir).collect()
     val plantedFound = out.count { r =>
