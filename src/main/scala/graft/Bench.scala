@@ -175,7 +175,11 @@ object Bench {
     // effects distort least (8-vs-32 measured noisier by far).
     val Array(coresN, cores4N) = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES", "2,8")
       .split(",").map(_.trim.toInt)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // local-iteration escape hatch: per-query timings only (the scaling
+    // phase costs ~20 min of fresh-JVM children); the driver never sets it
+    val reps =
+      if (sys.env.get("SPARK_GRAFT_BENCH_SKIP_SCALING").contains("1")) 0
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val runsN = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     val runs4N = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     (1 to reps).foreach { i =>
@@ -183,13 +187,14 @@ object Bench {
       runs4N += tputInChildJvm(cores4N, scratch)
       System.err.println(s"[bench] rep $i: tN=${runsN.last} t4N=${runs4N.last}")
     }
+    if (reps == 0) { runsN += ((0.0, 0.0)); runs4N += ((0.0, 0.0)) }
     val tN = runsN.map(_._1).max
     val t4N = runs4N.map(_._1).max
     val cN = runsN.map(_._2).max
     val c4N = runs4N.map(_._2).max
     val ratio = cores4N.toDouble / coresN
-    val effWall = t4N / (ratio * tN)
-    val effCpu = c4N / (ratio * cN)
+    val effWall = if (tN > 0) t4N / (ratio * tN) else 0.0
+    val effCpu = if (cN > 0) c4N / (ratio * cN) else 0.0
 
     // ---- per-query timings at the driver's cpu count ----
     // interleaved rounds + per-query min (see scaladoc): one warmup pass,

@@ -48,7 +48,15 @@ object ExtractPipeline {
       heavyThreshold: Int = SkewSalter.DefaultHeavyThreshold,
       chunkTarget: Int = SkewSalter.DefaultChunkTarget,
       inputPath: String = "",
-      codeVersion: String = BuildInfo.version)
+      codeVersion: String = BuildInfo.version,
+      // V2 size cap (reference utils.py:504-506, main.py:258-264): docs
+      // whose input span chars exceed the cap are recorded as a single
+      // error span instead of extracted — the job continues (the reference
+      // rejects the request; a 10^12-doc job must not die per row)
+      oversizeCapChars: Option[Long] = None)
+
+  /** Oversize sentinel prefix (kind="error" span text). */
+  val OversizePrefix = "[ERRO: Arquivo excede o limite de "
 
   case class RunReport(bucketsTotal: Int, bucketsDone: Int, bucketsRun: Int,
       docsProcessed: Long)
@@ -127,7 +135,26 @@ object ExtractPipeline {
     // n_dead rides through extraction as a carried column (unknown kinds
     // are dropped by the kernel, so the count must be taken from the input
     // side — but it is WRITTEN with the output and aggregated from there)
-    val extracted = SkewSalter.extract(todo, cfg.heavyThreshold, cfg.chunkTarget)
+    val extracted = cfg.oversizeCapChars match {
+      case None => SkewSalter.extract(todo, cfg.heavyThreshold, cfg.chunkTarget)
+      case Some(cap) =>
+        // V2 cap: both branches read the SAME persisted projection — still
+        // one source scan; oversize docs keep a row (resume invariants:
+        // data covers every input doc exactly once)
+        val chars = aggregate(col("spans"), lit(0L),
+          (acc, s) => acc + coalesce(length(s.getField("text")), lit(0)))
+        val normal = todo.where(chars <= cap)
+        val oversize = todo.where(chars > cap).select(
+          col("doc_id"), col("bucket"), col("n_dead"),
+          array(struct(
+            lit("error").as("kind"),
+            concat(lit(OversizePrefix), lit(cap), lit(" caracteres: "),
+              col("doc_id"), lit("]")).as("text"),
+            lit(null).cast("string").as("media_ref"),
+            lit(0).as("offset"))).as("spans"))
+        SkewSalter.extract(normal, cfg.heavyThreshold, cfg.chunkTarget)
+          .unionByName(oversize)
+    }
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     extracted.write

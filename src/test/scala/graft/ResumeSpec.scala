@@ -137,6 +137,27 @@ class ResumeSpec extends AnyFunSuite with SparkSpec {
     assert(redo.bucketsDone === 0 && redo.docsProcessed === input.count())
   }
 
+  test("oversize cap (V2) records an error row instead of extracting") {
+    val out = freshDir()
+    val cap = 400L
+    ExtractPipeline.run(spark, input,
+      ExtractPipeline.Config(out, "r1", numBuckets = 4,
+        oversizeCapChars = Some(cap)))
+    val data = spark.read.parquet(s"$out/data")
+    // every input doc still has exactly one output row (resume invariant)
+    assert(data.count() === input.count())
+    val oversize = data.where(
+      element_at(col("spans"), 1).getField("text")
+        .startsWith(ExtractPipeline.OversizePrefix))
+    val expected = input.select(aggregate(col("spans"), lit(0L),
+      (acc, s) => acc + coalesce(length(s.getField("text")), lit(0))).as("c"))
+      .where(col("c") > cap).count()
+    assert(oversize.count() === expected)
+    assert(expected > 0)
+    assert(oversize.where(size(col("spans")) =!= 1).count() === 0)
+    assert(ExtractPipeline.verifyCheckpoints(spark, out).count() === 0)
+  }
+
   test("written output carries per-doc dead-letter counts into checkpoints") {
     val out = freshDir()
     ExtractPipeline.run(spark, input,
