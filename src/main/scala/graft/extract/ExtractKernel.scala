@@ -25,15 +25,24 @@ object ExtractKernel {
   /** Plain-Scala span: (kind, text, media_ref, offset). */
   type S = (String, String, String, Int)
 
+  // String.replaceAll recompiles its regex per CALL; these run per
+  // span/run in the kernel hot loop, so precompile once (same patterns,
+  // byte-identical output; goldens pin it)
+  private val pyStripRe = java.util.regex.Pattern.compile("^\\s+|\\s+$")
+  private val dehyphRe = java.util.regex.Pattern.compile("\u00AD\\s*")
+  private val ctrlRe = java.util.regex.Pattern.compile("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]")
+  private val crlfRe = java.util.regex.Pattern.compile("\r\n?")
+  private val spaceRe = java.util.regex.Pattern.compile("[ \t]+")
+
   private[extract] def pyStrip(s: String): String =
-    s.replaceAll("^\\s+|\\s+$", "")
+    pyStripRe.matcher(s).replaceAll("")
 
   private[extract] def ocrNormalize(t: String): String = {
     val lig = t.replace("ﬁ", "fi").replace("ﬂ", "fl")
-    val dehyph = lig.replaceAll("\u00AD\\s*", "")
-    val ctrl = dehyph.replaceAll("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", "")
-    val crlf = ctrl.replaceAll("\r\n?", "\n")
-    val sp = crlf.replaceAll("[ \t]+", " ")
+    val dehyph = dehyphRe.matcher(lig).replaceAll("")
+    val ctrl = ctrlRe.matcher(dehyph).replaceAll("")
+    val crlf = crlfRe.matcher(ctrl).replaceAll("\n")
+    val sp = spaceRe.matcher(crlf).replaceAll(" ")
     pyStrip(sp)
   }
 

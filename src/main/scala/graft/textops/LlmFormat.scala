@@ -92,10 +92,21 @@ object LlmFormat {
   private val objRe: Regex = new Regex("(?s)\\{.*?\\}")
   private val arrRe: Regex = new Regex("(?s)\\[.*?\\]")
 
+  // the cascade runs per ROW inside FormatBestEffortExpr — compile each
+  // key's battery once (keys are template fields, a tiny set) and the
+  // trailing-punctuation strip once
+  private val batteryCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Regex]]()
+  private val trailingPunctRe = java.util.regex.Pattern.compile("[,;.]+$")
+  private val wsCollapseRe = java.util.regex.Pattern.compile("\\s+")
+
   private def keyedExtractScala(text: String, key: String): Option[String] =
-    keyPatterns(key).view.flatMap { p =>
-      p.r.findFirstMatchIn(text).map(_.group(1))
-    }.headOption.map(_.replaceAll("[,;.]+$", "")).filter(_.nonEmpty)
+    batteryCache.computeIfAbsent(key, k => keyPatterns(k).map(_.r))
+      .view.flatMap { p =>
+        p.findFirstMatchIn(text).map(_.group(1))
+      }.headOption
+      .map(m => trailingPunctRe.matcher(m).replaceAll(""))
+      .filter(_.nonEmpty)
 
   private def jsonEscape(s: String): String = s.flatMap {
     case '"' => "\\\""
@@ -141,7 +152,7 @@ object LlmFormat {
       val fromExample = Option(example).map(templateKeys).getOrElse(Seq.empty)
       assembleFromKeys(response, fromTemplate)
         .orElse(assembleFromKeys(response, fromExample))
-        .getOrElse(response.replaceAll("\\s+", " ").trim)
+        .getOrElse(wsCollapseRe.matcher(response).replaceAll(" ").trim)
     }
   }
 
