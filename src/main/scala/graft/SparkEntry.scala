@@ -62,6 +62,7 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => graft.textops.TextAnalysis.quality(s, dir)),
     "text_tokens" -> ((s, dir) => graft.textops.TextAnalysis.tokenCounts(s, dir)),
     "text_fingerprint" -> ((s, dir) => graft.textops.TextAnalysis.fingerprint(s, dir)),
+    "text_repetition" -> ((s, dir) => graft.textops.TextAnalysis.repetition(s, dir)),
     // multimodal plumbing (stubbed decode, real schema/batching)
     "media_features" -> ((s, dir) => graft.media.MediaFeatures.features(s, dir)),
     // LLM-stage string/JSON ops (L1 / L5 / L4)
@@ -103,6 +104,7 @@ SELECT doc_id, kind, text, media_ref, "offset" FROM synth ORDER BY doc_id, "offs
     "text_quality" -> graft.verify.TextOracles.quality,
     "text_tokens" -> graft.verify.TextOracles.tokenCounts,
     "text_fingerprint" -> graft.verify.TextOracles.fingerprint,
+    "text_repetition" -> graft.verify.TextOracles.repetition,
     "media_features" -> graft.verify.TextOracles.mediaFeatures,
     "llm_prompt_build" -> graft.verify.TextOracles.promptBuild,
     "llm_extract_values" -> graft.verify.TextOracles.extractValues,

@@ -24,6 +24,8 @@ import org.apache.spark.sql.functions._
   *                             'running' rows the stuck scan (Q6) finds
   *   _lineage/                 (run_id, input_path, code_version,
   *                              params_json, run_ts)
+  * The metrics surface is [[metrics]] — a view over `_checkpoints`
+  * (latest done row per bucket), not a second store to keep consistent.
   *
   * Buckets come from `pmod(xxhash64(doc_id), numBuckets)` — uniform for any
   * id distribution (monotonic int-derived ids included), and the output
@@ -205,6 +207,22 @@ object ExtractPipeline {
       coalesce(sum("n_docs"), lit(0L)).as("docs"),
       count(lit(1)).as("buckets")).collect()(0)
     RunReport(cfg.numBuckets, done.size, ran.getLong(1).toInt, ran.getLong(0))
+  }
+
+  /** The per-bucket metrics view (the VERBOSE counter logs of the
+    * reference, utils.py:62,111,153,197, as a queryable table): latest
+    * 'done' checkpoint row per bucket. This IS the `_metrics` surface the
+    * layout doc describes — a projection of `_checkpoints`, not a second
+    * store to keep consistent.
+    */
+  def metrics(spark: SparkSession, outDir: String): DataFrame = {
+    val w = Window.partitionBy("bucket").orderBy(desc("finished_ts"))
+    spark.read.parquet(s"$outDir/_checkpoints")
+      .where(col("stage") === Stage && col("status") === "done")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("bucket", "run_id", "n_docs", "n_spans", "text_chars",
+        "n_images", "n_errors", "n_dead_letter", "finished_ts")
   }
 
   /** Q4/Q5 analog — the invariant checker (reference main.py:1063-1218,

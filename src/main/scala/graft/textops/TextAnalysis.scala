@@ -84,6 +84,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Repetition-ratio thresholds for [[repetition]] (simplified Gopher
+    * rules — Rae et al. 2021 flag docs whose duplicate-n-gram fractions
+    * exceed per-n thresholds; frozen here for the oracle).
+    */
+  val Dup2Max = 0.4
+  val Dup3Max = 0.3
+
+  /** Repetition scoring — the classic pretraining-corpus quality rule:
+    * fraction of repeated word 2-grams / 3-grams per document (1 -
+    * distinct/total), plus the keep flag at the frozen thresholds. Pure
+    * column ops, shuffle-free, O(words) per row in both engines.
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = loadDocs(spark, sfDir)
+    val ws = words(d("text"))
+    def grams(n: Int): Column =
+      transform(sequence(lit(0), size(ws) - n),
+        i => array_join(slice(ws, i + 1, lit(n)), " "))
+    def dupFrac(n: Int): Column = {
+      val g = grams(n)
+      when(size(ws) < n, lit(0.0)).otherwise(
+        round(lit(1.0) - size(array_distinct(g)).cast("double")
+          / size(g).cast("double"), 6))
+    }
+    d.select(
+      d("doc_id"),
+      dupFrac(2).as("dup_2gram_frac"),
+      dupFrac(3).as("dup_3gram_frac"))
+      .withColumn("keep",
+        col("dup_2gram_frac") <= Dup2Max && col("dup_3gram_frac") <= Dup3Max)
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: minimum keyed hash over the rolling window of
     * word 5-grams (winnowing-style min-fingerprint); short docs fall back
     * to whole-text hash. Robust to local edits outside the minimal gram.

@@ -56,6 +56,23 @@ FROM m ORDER BY doc_id"""
   len(regexp_extract_all(text, '${TextAnalysis.BpeishTokenPattern}')) AS bpe_tokens
 FROM documents ORDER BY doc_id"""
 
+  val repetition: String = {
+    def dupFrac(n: Int): String =
+      s"""CASE WHEN len(ws) < $n THEN 0.0 ELSE
+      round(1.0 - CAST(len(list_distinct(list_transform(range(len(ws) - ${n - 1}),
+        i -> array_to_string(ws[i+1:i+$n], ' ')))) AS DOUBLE)
+        / CAST(len(ws) - ${n - 1} AS DOUBLE), 6) END"""
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+r AS (
+  SELECT doc_id,
+    ${dupFrac(2)} AS dup_2gram_frac,
+    ${dupFrac(3)} AS dup_3gram_frac
+  FROM w)
+SELECT doc_id, dup_2gram_frac, dup_3gram_frac,
+  dup_2gram_frac <= ${TextAnalysis.Dup2Max} AND dup_3gram_frac <= ${TextAnalysis.Dup3Max} AS keep
+FROM r ORDER BY doc_id"""
+  }
+
   val fingerprint: String =
     s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
 SELECT doc_id,

@@ -158,6 +158,15 @@ class ResumeSpec extends AnyFunSuite with SparkSpec {
     assert(ExtractPipeline.verifyCheckpoints(spark, out).count() === 0)
   }
 
+  test("metrics view exposes latest done counters per bucket") {
+    val out = freshDir()
+    ExtractPipeline.run(spark, input,
+      ExtractPipeline.Config(out, "r1", numBuckets = 4))
+    val m = ExtractPipeline.metrics(spark, out)
+    assert(m.count() === 4) // one row per bucket, running rows excluded
+    assert(m.agg(sum("n_docs")).collect()(0).getLong(0) === input.count())
+  }
+
   test("written output carries per-doc dead-letter counts into checkpoints") {
     val out = freshDir()
     ExtractPipeline.run(spark, input,
