@@ -68,7 +68,10 @@ object SparkEntry {
     // LLM-stage string/JSON ops (L1 / L5 / L4)
     "llm_prompt_build" -> ((s, dir) => graft.textops.LlmFormat.promptBuildQuery(s, dir)),
     "llm_extract_values" -> ((s, dir) => graft.textops.LlmFormat.extractValuesQuery(s, dir)),
-    "llm_format_response" -> ((s, dir) => graft.textops.LlmFormat.formatResponseQuery(s, dir))
+    "llm_format_response" -> ((s, dir) => graft.textops.LlmFormat.formatResponseQuery(s, dir)),
+    // P2/L2/L3 plumbing with the deterministic echo transport (stubbed
+    // network call; mapPartitions pooling shape is real)
+    "llm_stage" -> ((s, dir) => graft.llm.LlmStage.stageQuery(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -108,6 +111,7 @@ SELECT doc_id, kind, text, media_ref, "offset" FROM synth ORDER BY doc_id, "offs
     "media_features" -> graft.verify.TextOracles.mediaFeatures,
     "llm_prompt_build" -> graft.verify.TextOracles.promptBuild,
     "llm_extract_values" -> graft.verify.TextOracles.extractValues,
-    "llm_format_response" -> graft.verify.TextOracles.formatResponse
+    "llm_format_response" -> graft.verify.TextOracles.formatResponse,
+    "llm_stage" -> graft.verify.TextOracles.llmStage
   )
 }

@@ -412,6 +412,34 @@ FROM proj
 ORDER BY pref_25 DESC, pref_20 DESC, pref_15 DESC, pref_flash DESC, model, summary"""
   }
 
+  /** P2 LLM-stage oracle ([[graft.llm.LlmStage.stageQuery]]): prompt (L1,
+    * no-instructions variant) → deterministic echo transport reply →
+    * L4-formatted. The echo reply is `name: {ascii-letters of context's
+    * first word}, ref: {h32(full_prompt)}`.
+    */
+  val llmStage: String = {
+    val q = LlmFormat.Question
+    val tail = "chr(10) || chr(10) || 'Based on the context above, answer directly and objectively.'"
+    s"""WITH p AS (
+  SELECT doc_id,
+    CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = ''
+         THEN '${LlmFormat.EmptyContextSentinel}' ELSE text END AS ctx
+  FROM documents),
+fp AS (
+  SELECT doc_id, ctx,
+    'Context: ' || ctx || chr(10) || chr(10) || 'Question: ' || '$q' || $tail AS full_prompt
+  FROM p),
+r AS (
+  SELECT doc_id,
+    coalesce(nullif(regexp_replace(regexp_extract(ctx, '^[^ \\n]*'), '[^A-Za-z]', '', 'g'), ''), 'empty') AS w1,
+    CAST(${h32("full_prompt")} AS VARCHAR) AS h
+  FROM fp)
+SELECT doc_id,
+  'name: ' || w1 || ', ref: ' || h AS llm_response,
+  '{"name": "' || w1 || '", "ref": "' || h || '"}' AS formatted_response
+FROM r ORDER BY doc_id"""
+  }
+
   /** Media features over the extracted output's image spans — mirrors the
     * deterministic stub decode in graft.media.MediaFeatures.
     */
