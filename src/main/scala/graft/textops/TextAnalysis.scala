@@ -93,29 +93,61 @@ object TextAnalysis {
 
   /** Repetition scoring — the classic pretraining-corpus quality rule:
     * fraction of repeated word 2-grams / 3-grams per document (1 -
-    * distinct/total), plus the keep flag at the frozen thresholds. Pure
-    * column ops, shuffle-free, O(words) per row in both engines.
+    * distinct/total), plus the keep flag at the frozen thresholds.
+    * Shuffle-free, O(words) per row; fast path is the native
+    * [[RepetitionExpr]] (the interpreted HOF twin below re-evaluates
+    * slice+join per gram — measured 8.6 s for this query alone at sf0.1).
     */
   def repetition(spark: SparkSession, sfDir: String): DataFrame = {
     val d = loadDocs(spark, sfDir)
-    val ws = words(d("text"))
-    def grams(n: Int): Column =
-      transform(sequence(lit(0), size(ws) - n),
-        i => array_join(slice(ws, i + 1, lit(n)), " "))
-    def dupFrac(n: Int): Column = {
-      val g = grams(n)
-      when(size(ws) < n, lit(0.0)).otherwise(
-        round(lit(1.0) - size(array_distinct(g)).cast("double")
-          / size(g).cast("double"), 6))
-    }
     d.select(
       d("doc_id"),
-      dupFrac(2).as("dup_2gram_frac"),
-      dupFrac(3).as("dup_3gram_frac"))
+      element_at(repetitionFracs(d("text")), 1).as("dup_2gram_frac"),
+      element_at(repetitionFracs(d("text")), 2).as("dup_3gram_frac"))
       .withColumn("keep",
         col("dup_2gram_frac") <= Dup2Max && col("dup_3gram_frac") <= Dup3Max)
       .orderBy("doc_id")
   }
+
+  /** Scala twin: [dup_2gram_frac, dup_3gram_frac] in one pass. Rounding
+    * matches Spark's `round(x, 6)` (BigDecimal HALF_UP).
+    */
+  def repetitionScala(text: String): Array[Double] = {
+    val ws = text.split(" ", -1)
+    def frac(n: Int): Double = {
+      val total = ws.length - n + 1
+      if (total <= 0) 0.0
+      else {
+        val seen = new java.util.HashSet[String](total * 2)
+        var i = 0
+        while (i < total) {
+          val sb = new java.lang.StringBuilder(ws(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(ws(i + j)); j += 1 }
+          seen.add(sb.toString)
+          i += 1
+        }
+        BigDecimal(1.0 - seen.size.toDouble / total.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    Array(frac(2), frac(3))
+  }
+
+  /** Column-op reference implementation (what the DuckDB oracle mirrors;
+    * parity-pinned against the native kernel in PortableHashSpec).
+    */
+  def repetitionFracColumnar(text: Column, n: Int): Column = {
+    val ws = words(text)
+    val g = transform(sequence(lit(0), size(ws) - n),
+      i => array_join(slice(ws, i + 1, lit(n)), " "))
+    when(size(ws) < n, lit(0.0)).otherwise(
+      round(lit(1.0) - size(array_distinct(g)).cast("double")
+        / size(g).cast("double"), 6))
+  }
+
+  def repetitionFracs(c: Column): Column =
+    ColumnShim.column(RepetitionExpr(ColumnShim.expression(c)))
 
   /** Document fingerprint: minimum keyed hash over the rolling window of
     * word 5-grams (winnowing-style min-fingerprint); short docs fall back
@@ -160,6 +192,21 @@ object TextAnalysis {
 
   def fingerprint60(c: Column): Column =
     ColumnShim.column(FingerprintExpr(ColumnShim.expression(c)))
+}
+
+/** Catalyst expression wrapping [[TextAnalysis.repetitionScala]]. */
+case class RepetitionExpr(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextAnalysis.repetitionScala(input.asInstanceOf[UTF8String].toString)
+        .map(Double.box).toArray[Any])
+  override protected def withNewChildInternal(newChild: Expression): RepetitionExpr =
+    copy(child = newChild)
+  override def prettyName: String = "repetition_fracs"
 }
 
 /** Catalyst expression wrapping [[TextAnalysis.fingerprintScala]]. */

@@ -46,6 +46,18 @@ class PortableHashSpec extends AnyFunSuite with SparkSpec {
     df.unpersist()
   }
 
+  test("native repetition fracs == columnar reference (full sf0.001 docs)") {
+    import graft.textops.TextAnalysis
+    val d = TextAnalysis.loadDocs(SparkSpec.session, "/root/testdata/sf0.001")
+    val native = d.select(col("doc_id"), TextAnalysis.repetitionFracs(col("text")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val columnar = d.select(col("doc_id"),
+      TextAnalysis.repetitionFracColumnar(col("text"), 2),
+      TextAnalysis.repetitionFracColumnar(col("text"), 3))
+      .collect().map(r => (r.getLong(0), Seq(r.getDouble(1), r.getDouble(2))))
+    assert(native.sortBy(_._1).toSeq === columnar.sortBy(_._1).toSeq)
+  }
+
   test("media stub decode is deterministic and in documented ranges") {
     val f = graft.media.MediaFeatures.decodeOne(
       graft.media.MediaFeatures.MediaRef("d", "media://d/0", 1))
