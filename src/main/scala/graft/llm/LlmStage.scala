@@ -63,7 +63,11 @@ object LlmStage {
       .as[(Long, String)]
       .mapPartitions { rows =>
         val t = transport // one instance per partition (pooled-client shape)
-        rows.map { case (id, prompt) => (id, prompt, t.generate(model, prompt)) }
+        rows.map { case (id, prompt) =>
+          // null prompt (null doc text) degrades to a null reply — one bad
+          // row must not kill a 10^12-doc job
+          (id, prompt, if (prompt == null) null else t.generate(model, prompt))
+        }
       }
       .toDF("doc_id", "full_prompt", "llm_response")
   }

@@ -70,13 +70,29 @@ object ExtractPipeline {
   def bucketCol(numBuckets: Int) =
     pmod(xxhash64(col("doc_id")), lit(numBuckets.toLong)).cast("int")
 
-  /** Buckets already checkpointed 'done' for this stage (any run). */
+  /** Buckets already checkpointed 'done' for this stage (any run). A
+    * bucket checkpointed 'empty' (claimed, no data in that run's input) is
+    * NOT done: a later resume with a fuller input must recompute it.
+    */
   def doneBuckets(spark: SparkSession, outDir: String, stage: String): Set[Int] = {
     val path = s"$outDir/_checkpoints"
+    recoverStore(spark, path)
     if (!fileExists(spark, path)) Set.empty
     else spark.read.parquet(path)
       .where(col("stage") === stage && col("status") === "done")
       .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+  }
+
+  /** Crash recovery for [[cleanupCheckpoints]]'s rewrite: if the store is
+    * missing but the renamed-aside copy exists (crash between the two
+    * renames), restore it — otherwise every reader sees an empty store and
+    * resume recomputes the world.
+    */
+  private def recoverStore(spark: SparkSession, path: String): Unit = {
+    val fs = hadoopFs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val pOld = new org.apache.hadoop.fs.Path(s"${path}_old")
+    if (!fs.exists(p) && fs.exists(pOld)) { fs.rename(pOld, p); () }
   }
 
   private def fileExists(spark: SparkSession, path: String): Boolean = {
@@ -87,6 +103,11 @@ object ExtractPipeline {
   private def hadoopFs(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def emptyCkptView(spark: SparkSession, ddl: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
 
   /** One checkpoint row per claimed bucket, status='running' — written from
     * a driver-local list (bucket ids are 0..numBuckets-1 minus done; no
@@ -182,6 +203,7 @@ object ExtractPipeline {
         sum(size(filter(col("spans"), s => s.getField("kind") === "image"))).as("n_images"),
         sum(size(filter(col("spans"), s => s.getField("kind") === "error"))).as("n_errors"),
         sum(col("n_dead")).as("n_dead_letter"))
+      .cache() // consumed by the ckpt write, the empty-claim diff, and the report
 
     val finishedTs = java.time.Instant.now().toString
     val ckpt = perBucket.select(
@@ -195,6 +217,27 @@ object ExtractPipeline {
       lit(finishedTs).cast("timestamp").as("finished_ts"))
     ckpt.coalesce(1).write.mode(SaveMode.Append).parquet(s"${cfg.outDir}/_checkpoints")
 
+    // claimed buckets with NO data in this run's input get a terminal
+    // 'empty' row (driver-local list, bounded by numBuckets): the stuck
+    // scan must not flag them forever, while resume (done-only) still
+    // recomputes them if a later input covers them
+    val withData = perBucket.select("bucket").collect().map(_.getInt(0)).toSet
+    val emptyClaimed = (0 until cfg.numBuckets)
+      .filterNot(done).filterNot(withData)
+    if (emptyClaimed.nonEmpty) {
+      import spark.implicits._
+      emptyClaimed.toDF("bucket").select(
+        lit(cfg.runId).as("run_id"),
+        lit(Stage).as("stage"),
+        col("bucket"),
+        lit("empty").as("status"),
+        lit(0L).as("n_docs"), lit(0L).as("n_spans"), lit(0L).as("text_chars"),
+        lit(0L).as("n_images"), lit(0L).as("n_errors"), lit(0L).as("n_dead_letter"),
+        lit(startedTs).cast("timestamp").as("started_ts"),
+        lit(finishedTs).cast("timestamp").as("finished_ts"))
+        .coalesce(1).write.mode(SaveMode.Append).parquet(s"${cfg.outDir}/_checkpoints")
+    }
+
     val lineage = spark.range(1).select(
       lit(cfg.runId).as("run_id"),
       lit(cfg.inputPath).as("input_path"),
@@ -206,6 +249,7 @@ object ExtractPipeline {
     val ran = perBucket.agg(
       coalesce(sum("n_docs"), lit(0L)).as("docs"),
       count(lit(1)).as("buckets")).collect()(0)
+    perBucket.unpersist()
     RunReport(cfg.numBuckets, done.size, ran.getLong(1).toInt, ran.getLong(0))
   }
 
@@ -216,8 +260,14 @@ object ExtractPipeline {
     * store to keep consistent.
     */
   def metrics(spark: SparkSession, outDir: String): DataFrame = {
+    val path = s"$outDir/_checkpoints"
+    recoverStore(spark, path)
+    if (!fileExists(spark, path))
+      return emptyCkptView(spark, "bucket INT, run_id STRING, n_docs BIGINT, " +
+        "n_spans BIGINT, text_chars BIGINT, n_images BIGINT, n_errors BIGINT, " +
+        "n_dead_letter BIGINT, finished_ts TIMESTAMP")
     val w = Window.partitionBy("bucket").orderBy(desc("finished_ts"))
-    spark.read.parquet(s"$outDir/_checkpoints")
+    spark.read.parquet(path)
       .where(col("stage") === Stage && col("status") === "done")
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
@@ -249,6 +299,10 @@ object ExtractPipeline {
   def staleCheckpoints(spark: SparkSession, outDir: String,
       olderThanHours: Double): DataFrame = {
     val path = s"$outDir/_checkpoints"
+    recoverStore(spark, path)
+    if (!fileExists(spark, path)) // nothing claimed yet => nothing stuck
+      return emptyCkptView(spark,
+        "run_id STRING, bucket INT, status STRING, started_ts TIMESTAMP")
     val ckpt = spark.read.parquet(path).where(col("stage") === Stage)
     // ties (a run's running+done rows share started_ts): 'done' wins
     val w = Window.partitionBy("bucket")
@@ -281,6 +335,7 @@ object ExtractPipeline {
 
   private def rewriteKeeping(spark: SparkSession, path: String,
       keep: org.apache.spark.sql.Column): Long = {
+    recoverStore(spark, path) // a crashed prior rewrite left only <path>_old
     if (!fileExists(spark, path)) return 0L
     val kept = spark.read.parquet(path).where(keep).cache()
     val n = kept.count()

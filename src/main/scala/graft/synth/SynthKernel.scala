@@ -30,7 +30,12 @@ object SynthKernel {
     * fast path; mirrors [[SpanSynth.synth]] rule for rule.
     */
   def synthDoc(did: Long, text: String): Seq[(String, String, String, Int)] = {
-    val docKey = f"doc-$did%08d"
+    // lpad semantics (Spark lpad / DuckDB lpad TRUNCATE to the first 8
+    // chars when longer) — %08d would diverge at doc_id >= 10^8
+    val ds = did.toString
+    val key8 = if (ds.length >= 8) ds.substring(0, 8)
+      else "0" * (8 - ds.length) + ds
+    val docKey = "doc-" + key8
     val words = text.split(" ", -1)
     val nw = words.length
     val np = ((nw + ParaWords - 1) / ParaWords).toInt

@@ -100,8 +100,22 @@ object LlmFormat {
   private val trailingPunctRe = java.util.regex.Pattern.compile("[,;.]+$")
   private val wsCollapseRe = java.util.regex.Pattern.compile("\\s+")
 
+  /** Max distinct compiled batteries kept (templates arrive per ROW via
+    * format_best_effort, so an unbounded cache would grow for the executor
+    * JVM's lifetime; past the bound we compile fresh).
+    */
+  private val BatteryCacheMax = 1024
+
+  private def compiledBattery(key: String): Seq[Regex] =
+    if (batteryCache.size >= BatteryCacheMax)
+      Option(batteryCache.get(key)).getOrElse(keyPatterns(key).map(_.r))
+    else batteryCache.computeIfAbsent(key, k => keyPatterns(k).map(_.r))
+
   private def keyedExtractScala(text: String, key: String): Option[String] =
-    batteryCache.computeIfAbsent(key, k => keyPatterns(k).map(_.r))
+    // non-identifier keys come from CALLER templates (a public SQL
+    // function): degrade by skipping the key, never crash the row/job
+    if (!key.matches("[A-Za-z0-9_]+")) None
+    else compiledBattery(key)
       .view.flatMap { p =>
         p.findFirstMatchIn(text).map(_.group(1))
       }.headOption

@@ -66,6 +66,14 @@ class LlmFormatSpec extends AnyFunSuite {
     assert(LlmFormat.keyPatterns("total_2").nonEmpty)
   }
 
+  test("cascade degrades on non-identifier template keys instead of crashing") {
+    // format_best_effort is a public SQL function; caller templates with
+    // odd keys must skip the key, never fail the row/job
+    val out = LlmFormat.formatBestEffort("name: acme",
+      """{"total-due": "", "name": ""}""", null)
+    assert(out === """{"name": "acme"}""")
+  }
+
   test("provider validation (V3) accepts known providers, rejects the rest") {
     import graft.serve.Queries.validateProvider
     validateProvider("ollama", None)
@@ -83,12 +91,17 @@ class LlmFormatSpec extends AnyFunSuite {
   * fails loudly instead of silently diverging from DuckDB.
   */
 class FormatOracleCorpusGuardSpec extends AnyFunSuite with SparkSpec {
-  test("first words of documents contain no digits, quotes, or braces") {
+  test("first words of documents trigger no battery/oracle divergence") {
     import org.apache.spark.sql.functions._
+    // digits/quotes/brackets fire the fallback patterns; , } stop the
+    // battery's capture early; ; . are stripped as trailing punctuation;
+    // : = make free text battery-extractable; \ breaks jsonEscape parity —
+    // any of these would silently diverge the analytic formatResponse /
+    // serveDebug / llmStage oracles from the real cascade
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
       val bad = spark.read.parquet(s"$dir/documents.parquet")
         .select(element_at(split(col("text"), " "), 1).as("w1"))
-        .where(col("w1").rlike("[\\d\"{}\\[\\]]"))
+        .where(col("w1").rlike("[\\d\"{}\\[\\],;.:=\\\\]"))
         .count()
       assert(bad === 0L, s"$dir has $bad battery-triggering first words")
     }

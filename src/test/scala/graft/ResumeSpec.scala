@@ -93,19 +93,54 @@ class ResumeSpec extends AnyFunSuite with SparkSpec {
   test("stuck scan (Q6) flags claimed-but-uncommitted buckets only") {
     val out = freshDir()
     val B = 8
-    // crashed run: all 8 buckets claimed 'running', only 0-3 committed
+    // fresh store: nothing claimed => nothing stuck (and no crash)
+    assert(ExtractPipeline.staleCheckpoints(spark, out, 0.0).count() === 0)
+
+    // a partial-coverage input leaves buckets 4-7 claimed but dataless —
+    // they terminate as 'empty', NOT stuck (no standing false alarms)
     val partial = input.where(ExtractPipeline.bucketCol(B) < 4)
     ExtractPipeline.run(spark, partial,
       ExtractPipeline.Config(out, "run-1", numBuckets = B))
-    val stale = ExtractPipeline.staleCheckpoints(spark, out, olderThanHours = 0.0)
-      .collect()
-    assert(stale.map(_.getAs[Int]("bucket")).sorted.toSeq === Seq(4, 5, 6, 7))
+    assert(ExtractPipeline.staleCheckpoints(spark, out, 0.0).count() === 0)
+
+    // simulate a genuine crash: strip bucket 2's terminal row, leaving its
+    // 'running' claim dangling
+    val ckpt = spark.read.parquet(s"$out/_checkpoints")
+      .where(!(col("bucket") === 2 && col("status") =!= "running")).cache()
+    ckpt.count()
+    ckpt.coalesce(1).write.mode("overwrite").parquet(s"$out/_ckpt_tmp")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/_checkpoints"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$out/_ckpt_tmp"),
+      new org.apache.hadoop.fs.Path(s"$out/_checkpoints"))
+
+    val stale = ExtractPipeline.staleCheckpoints(spark, out, 0.0).collect()
+    assert(stale.map(_.getAs[Int]("bucket")).toSeq === Seq(2))
     assert(stale.forall(_.getAs[String]("status") === "running"))
 
-    // resume commits the rest; nothing is stuck afterwards
-    ExtractPipeline.run(spark, input,
+    // resume recommits it; nothing is stuck afterwards; empty buckets
+    // (4-7) were never marked done, so a fuller input recomputes them
+    val r2 = ExtractPipeline.run(spark, input,
       ExtractPipeline.Config(out, "run-2", numBuckets = B))
+    assert(r2.bucketsDone === 3) // 0,1,3 done; 2 wiped; 4-7 only 'empty'
     assert(ExtractPipeline.staleCheckpoints(spark, out, 0.0).count() === 0)
+  }
+
+  test("crashed cleanup rewrite is recovered from the renamed-aside copy") {
+    val out = freshDir()
+    ExtractPipeline.run(spark, input,
+      ExtractPipeline.Config(out, "r1", numBuckets = 4))
+    val n = spark.read.parquet(s"$out/_checkpoints").count()
+    // simulate the crash window: store renamed aside, new copy never landed
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$out/_checkpoints"),
+      new org.apache.hadoop.fs.Path(s"$out/_checkpoints_old"))
+    // any reader recovers the store instead of seeing it empty
+    assert(ExtractPipeline.doneBuckets(spark, out, "extract").size === 4)
+    assert(spark.read.parquet(s"$out/_checkpoints").count() === n)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/_checkpoints_old")))
   }
 
   test("retention cleanup (P6) keeps young rows, drops expired, crash-safe") {

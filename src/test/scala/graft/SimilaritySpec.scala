@@ -15,8 +15,9 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(Similarity.PlanePool.size === Similarity.PoolSize)
     assert(Similarity.PlanePool.forall(_.size === Similarity.Dim))
     assert(Similarity.PlanePool.flatten.forall(x => x >= -1.0 && x < 1.0))
-    // frozen: first component pinned so an accidental reseed fails loudly
-    assert(Similarity.PlanePool(0)(0) === Similarity.PlanePool(0)(0))
+    // frozen: first component pinned to its known value (md5("rh-0-0")
+    // first-8-hex / 2^31 - 1) so an accidental reseed fails loudly
+    assert(Similarity.PlanePool(0)(0) === -0.638358183670789)
     assert(Similarity.duckPlanes(1).startsWith("[["))
   }
 
