@@ -59,7 +59,11 @@ object LlmStage {
   def generate(df: DataFrame, model: String, transport: LlmTransport): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("doc_id").cast("long"), col("full_prompt"))
+    // doc_id is the primary key (reference models.py:18, NOT NULL); a
+    // null-id row has no home in any table and would kill the typed
+    // encoder below, so it is dropped rather than failing the job
+    df.where(col("doc_id").isNotNull)
+      .select(col("doc_id").cast("long"), col("full_prompt"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val t = transport // one instance per partition (pooled-client shape)

@@ -280,10 +280,17 @@ object ExtractPipeline {
     * missing or doc counts disagree. Empty result = healthy.
     */
   def verifyCheckpoints(spark: SparkSession, outDir: String): DataFrame = {
-    val ckpt = spark.read.parquet(s"$outDir/_checkpoints")
-      .where(col("stage") === Stage && col("status") === "done")
+    val path = s"$outDir/_checkpoints"
+    recoverStore(spark, path)
+    val ckpt = (if (fileExists(spark, path))
+      spark.read.parquet(path)
+        .where(col("stage") === Stage && col("status") === "done")
+        .select("bucket", "n_docs")
+    else emptyCkptView(spark, "bucket INT, n_docs BIGINT"))
       .groupBy("bucket").agg(max("n_docs").as("ckpt_docs"))
-    val actual = spark.read.parquet(s"$outDir/data")
+    val actual = (if (fileExists(spark, s"$outDir/data"))
+      spark.read.parquet(s"$outDir/data").select("bucket")
+    else emptyCkptView(spark, "bucket INT"))
       .groupBy("bucket").agg(count(lit(1)).as("data_docs"))
     ckpt.join(actual, Seq("bucket"), "full_outer")
       .where(col("ckpt_docs").isNull || col("data_docs").isNull ||
@@ -346,8 +353,13 @@ object ExtractPipeline {
     val pTmp = new org.apache.hadoop.fs.Path(s"${path}_tmp")
     val pOld = new org.apache.hadoop.fs.Path(s"${path}_old")
     if (fs.exists(pOld)) fs.delete(pOld, true) // leftover from a past crash
-    fs.rename(p, pOld)
-    fs.rename(pTmp, p)
+    // cleanup is a SINGLE-WRITER maintenance job (the reference runs it as
+    // one hourly beat, workers.py:385-390); readers self-heal via
+    // recoverStore, but two concurrent cleanups are not supported. Rename
+    // results are checked so an interleaving fails LOUDLY instead of
+    // silently leaving expired rows or nesting directories.
+    require(fs.rename(p, pOld), s"cleanup: rename $p aside failed")
+    require(fs.rename(pTmp, p), s"cleanup: rename $pTmp into place failed")
     fs.delete(pOld, true)
     n
   }

@@ -102,19 +102,23 @@ object LlmFormat {
 
   /** Max distinct compiled batteries kept (templates arrive per ROW via
     * format_best_effort, so an unbounded cache would grow for the executor
-    * JVM's lifetime; past the bound we compile fresh).
+    * JVM's lifetime). At the cap the cache FLUSHES, so a hot key arriving
+    * after a flood of junk keys still re-enters instead of recompiling its
+    * battery per row forever.
     */
   private val BatteryCacheMax = 1024
 
-  private def compiledBattery(key: String): Seq[Regex] =
-    if (batteryCache.size >= BatteryCacheMax)
-      Option(batteryCache.get(key)).getOrElse(keyPatterns(key).map(_.r))
-    else batteryCache.computeIfAbsent(key, k => keyPatterns(k).map(_.r))
+  private val identKeyRe = java.util.regex.Pattern.compile("[A-Za-z0-9_]+")
+
+  private def compiledBattery(key: String): Seq[Regex] = {
+    if (batteryCache.size >= BatteryCacheMax) batteryCache.clear()
+    batteryCache.computeIfAbsent(key, k => keyPatterns(k).map(_.r))
+  }
 
   private def keyedExtractScala(text: String, key: String): Option[String] =
     // non-identifier keys come from CALLER templates (a public SQL
     // function): degrade by skipping the key, never crash the row/job
-    if (!key.matches("[A-Za-z0-9_]+")) None
+    if (!identKeyRe.matcher(key).matches()) None
     else compiledBattery(key)
       .view.flatMap { p =>
         p.findFirstMatchIn(text).map(_.group(1))

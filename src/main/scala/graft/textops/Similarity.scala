@@ -139,19 +139,28 @@ object Similarity {
     * deployment these are MATERIALIZED index tables built once, and
     * re-persisting a fresh copy per invocation (e.g. the bench's repeated
     * rounds) accumulates dead cache entries until the context GC reaps
-    * them. Invalidated automatically when the owning session is stopped.
+    * them. Assumes the parquet at `sfDir` is immutable for the session
+    * (true here: the testdata is read-only; a production index is rebuilt
+    * by an explicit job, not by silently re-reading mutated files).
+    * Replaced entries are unpersisted; invalidated when the owning session
+    * stops.
     */
   private val memo =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.mutable.HashMap.empty[String, DataFrame]
 
   private def memoized(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    memo.get(key) match {
-      case Some(df) if (df.sparkSession eq spark) &&
-          !spark.sparkContext.isStopped => df
-      case _ =>
-        val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        memo.put(key, df)
-        df
+    memo.synchronized {
+      memo.get(key) match {
+        case Some(df) if (df.sparkSession eq spark) &&
+            !spark.sparkContext.isStopped => df
+        case stale =>
+          stale.foreach { o =>
+            try o.unpersist() catch { case _: Exception => () } // context may be gone
+          }
+          val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          memo.put(key, df)
+          df
+      }
     }
 
   /** Corpus plus planted near-duplicates (deterministic augmentation —
