@@ -5,25 +5,41 @@ import org.apache.spark.sql.functions._
 
 /** Benchmark main (driver contract). Prints ONE JSON line:
   *   {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...,
-  *    "scaling":{...}}
+  *    "scaling":{...}|null,...}
   *
   * Two measurements (protocol in BASELINE.md):
-  *  1. Extraction throughput (docs/sec) over a materialized fat-doc span
+  *  1. Per-query seconds for every SparkEntry query at local[32].
+  *     Steal medicine (this sandbox is a microVM with bursty neighbor
+  *     steal; identical runs measured 20x apart): after one warmup pass,
+  *     the full query list is timed in interleaved ROUNDS (q1..qk, q1..qk,
+  *     ...) and each query reports its per-round minimum — a single noisy
+  *     round then inflates at most one round, not one query by 20x.
+  *  2. Extraction throughput (docs/sec) over a materialized fat-doc span
   *     table at local[2] (N) vs local[8] (4N) — the in-sandbox evidence
   *     for the north_rule's N vs 4N cluster-scaling criterion
   *     (efficiency = tput4N/(4*tputN); both wall and CPU-time-derived).
   *     Each measurement runs in a FRESH child JVM (sequential
   *     SparkSessions in one JVM contaminate each other's timings), the
-  *     levels interleave best-of-N (microVM neighbor steal), and 2-vs-8
-  *     sits below the 32-core host's saturation point where steal
-  *     distorts least. The input is pre-written to parquet (128 files)
-  *     and cached so the kernel compute — not I/O — is what scales.
-  *  2. Per-query seconds for every SparkEntry query at local[32].
-  *     Same steal medicine as the scaling protocol: after one warmup pass,
-  *     the full query list is timed in interleaved ROUNDS (q1..qk, q1..qk,
-  *     ...) and each query reports its per-round minimum — a single noisy
-  *     round then inflates at most one round, not one query by 20x
-  *     (round-1 recorded 78 s for a query that repeatedly re-times at ~3 s).
+  *     levels interleave best-of-N, and 2-vs-8 sits below the 32-core
+  *     host's saturation point where steal distorts least.
+  *
+  * WALL-CLOCK BUDGET (round-2 post-mortem): the driver kills Bench at an
+  * unpublished timeout; round 2's run blew it (prep + 2 fresh-JVM scaling
+  * reps + 4 query passes under heavy steal) and, because the JSON printed
+  * only at the very end, the kill left NOTHING parseable (BENCH_r02.json
+  * rc=124, parsed:null). Three defenses, in order of importance:
+  *   - a shutdown hook emits the JSON line with whatever has completed, so
+  *     even a SIGTERM mid-phase yields a parseable artifact;
+  *   - `SPARK_GRAFT_BENCH_BUDGET_SEC` (default 1140 s) is honored by
+  *     shedding work: query rounds stop when their phase share is spent,
+  *     scaling reps stop when the remaining budget cannot fit another rep
+  *     (estimated from the previous rep), each child JVM gets a hard
+  *     timeout and is destroyed on expiry;
+  *   - the cheap deliverable (per-query timings) runs FIRST; the expensive
+  *     one (fresh-JVM scaling) consumes only what remains.
+  * A scaling block with no successful paired rep is reported as
+  * `"scaling":null` — never as zero-filled placeholder rows that parse
+  * like a catastrophic real measurement.
   */
 object Bench {
 
@@ -52,6 +68,58 @@ object Bench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
+  /** Everything the final JSON needs, filled in as phases complete, so the
+    * shutdown hook can serialize a faithful partial artifact at any point.
+    */
+  private object State {
+    val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var sfDir: String = ""
+    @volatile var budgetSec: Double = 0.0
+    @volatile var startNanos: Long = 0L
+    // per-query best-so-far (-1 = attempted, never succeeded)
+    val queryTimes = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+    @volatile var queryRounds: Int = 0
+    @volatile var nDocs: Long = -1L
+    @volatile var coresN: Int = 2
+    @volatile var cores4N: Int = 8
+    // paired (wall docs/s, cpu docs/s) runs per level — appended only when
+    // BOTH levels of a rep completed, so best-of stays a fair interleave
+    val runsN = new java.util.concurrent.CopyOnWriteArrayList[(Double, Double)]()
+    val runs4N = new java.util.concurrent.CopyOnWriteArrayList[(Double, Double)]()
+
+    def elapsed: Double = (System.nanoTime() - startNanos) / 1e9
+
+    def emit(): Unit = if (printed.compareAndSet(false, true)) {
+      import scala.jdk.CollectionConverters._
+      val results = queryTimes.asScala.toSeq.sortBy(_._1)
+      val qs = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      def arr(xs: Seq[Double]) = xs.map(x => f"$x%.1f").mkString("[", ",", "]")
+      val rN = runsN.asScala.toSeq
+      val r4N = runs4N.asScala.toSeq
+      // "efficiency" = WALL-clock ratio (the honest headline; sensitive to
+      // stragglers/idle loss); "efficiency_cpu" = CPU-time-derived ratio
+      // (steal-immune cross-check — rationale in BASELINE.md)
+      val scaling = if (rN.isEmpty || r4N.isEmpty) "null" else {
+        val tN = rN.map(_._1).max; val t4N = r4N.map(_._1).max
+        val cN = rN.map(_._2).max; val c4N = r4N.map(_._2).max
+        val ratio = cores4N.toDouble / coresN
+        val effWall = t4N / (ratio * tN)
+        val effCpu = c4N / (ratio * cN)
+        s"""{"docs":$nDocs,"cores_n":$coresN,"cores_4n":$cores4N,""" +
+          s""""docs_per_sec_n":${f"$tN%.1f"},"docs_per_sec_4n":${f"$t4N%.1f"},""" +
+          s""""efficiency":${f"$effWall%.3f"},"efficiency_cpu":${f"$effCpu%.3f"},""" +
+          s""""cpu_docs_per_sec_n":${f"$cN%.1f"},"cpu_docs_per_sec_4n":${f"$c4N%.1f"},""" +
+          s""""wall_runs_n":${arr(rN.map(_._1))},"wall_runs_4n":${arr(r4N.map(_._1))},""" +
+          s""""cpu_runs_n":${arr(rN.map(_._2))},"cpu_runs_4n":${arr(r4N.map(_._2))}}"""
+      }
+      println(
+        s"""{"metric":"total_query_sec","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling,"query_rounds":$queryRounds,"budget_sec":${f"$budgetSec%.0f"},"elapsed_sec":${f"$elapsed%.0f"}}""")
+      System.out.flush()
+    }
+  }
+
   /** JDK17 module opens for child JVMs (mirrors build.sbt / spark-submit). */
   private val addOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
@@ -63,26 +131,40 @@ object Bench {
     "java.base/sun.security.action", "java.base/sun.util.calendar"
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  /** Run one throughput measurement in a fresh JVM; returns
-    * (wall docs/sec, cpu-derived docs/sec).
+  /** Run one throughput measurement in a fresh JVM with a hard timeout;
+    * returns (wall docs/sec, cpu-derived docs/sec), or None on timeout /
+    * child failure (the child is destroyed — never left to eat the budget).
     */
-  private def tputInChildJvm(cores: Int, scratch: String): (Double, Double) = {
-    val java = s"${System.getProperty("java.home")}/bin/java"
+  private def tputInChildJvm(cores: Int, scratch: String,
+      timeoutSec: Double): Option[(Double, Double)] = {
+    if (timeoutSec <= 0) return None
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val cp = System.getProperty("java.class.path")
-    val cmd = Seq(java) ++ addOpens ++ Seq(
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
       "-Xmx24g", "-Dspark.ui.enabled=false", "-cp", cp,
       "graft.Bench", "tput", cores.toString, scratch)
     // child stderr (Spark logs) inherits ours — buffering it would deadlock
     val p = new ProcessBuilder(cmd: _*)
       .redirectError(ProcessBuilder.Redirect.INHERIT).start()
-    val out = new String(p.getInputStream.readAllBytes())
-    p.waitFor()
-    out.linesIterator.find(_.startsWith("TPUT ")) match {
-      case Some(l) =>
+    // drain stdout on a thread so waitFor can time out without pipe deadlock
+    val outBuf = new java.io.ByteArrayOutputStream()
+    val drainer = new Thread(() => { p.getInputStream.transferTo(outBuf); () })
+    drainer.setDaemon(true)
+    drainer.start()
+    val finished = p.waitFor(math.ceil(timeoutSec).toLong,
+      java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) {
+      System.err.println(s"[bench] child JVM (cores=$cores) hit ${timeoutSec.toInt}s timeout — killed")
+      p.destroyForcibly()
+      p.waitFor()
+      return None
+    }
+    drainer.join(2000)
+    new String(outBuf.toByteArray).linesIterator
+      .find(_.startsWith("TPUT ")).map { l =>
         val parts = l.stripPrefix("TPUT ").split(" ")
         (parts(0).toDouble, parts(1).toDouble)
-      case None => sys.error(s"child JVM (cores=$cores) produced no TPUT line")
-    }
+      }
   }
 
   /** Child-JVM entry: measure extraction docs/sec at one parallelism.
@@ -132,101 +214,121 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val rep = sys.env.getOrElse("SPARK_GRAFT_BENCH_REP", "50").toInt
-    val scratch = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft_bench") + "/spans"
-
     if (args.length == 3 && args(0) == "tput") {
       tputMain(args(1).toInt, args(2)); return
     }
 
-    // ---- prepare: materialize the replicated span table (not timed) ----
-    // spanMult fattens each doc (repeat + re-offset) so per-doc kernel work
-    // dominates fixed overheads — the compute regime the scaling claim is
-    // about
-    val spanMult = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPAN_MULT", "8").toInt
-    val skipPrep = sys.env.get("SPARK_GRAFT_BENCH_SKIP_PREP").contains("1") &&
-      new java.io.File(scratch).exists()
-    val prep = session(cpus)
-    val base = graft.synth.SpanSynth.docsInput(prep, sfDir)
-    val fat = flatten(array_repeat(col("spans"), spanMult))
-    val refat = transform(fat, (s, i) => struct(
-      s.getField("kind").as("kind"),
-      s.getField("text").as("text"),
-      s.getField("media_ref").as("media_ref"),
-      i.cast("int").as("offset")))
-    val replicated = base
-      .select(explode(sequence(lit(0), lit(rep - 1))).as("r"), col("doc_id"),
-        refat.as("spans"))
-      .select(concat(col("doc_id"), lit("-"), col("r")).as("doc_id"), col("spans"))
-    if (!skipPrep)
-      replicated.repartition(128).write.mode("overwrite").parquet(scratch)
-    val nDocs = prep.read.parquet(scratch).count()
-    prep.stop()
-    System.err.println(s"[bench] prepared $nDocs docs at $scratch")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val rep = sys.env.getOrElse("SPARK_GRAFT_BENCH_REP", "50").toInt
+    val scratch = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft_bench") + "/spans"
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1140").toDouble
+    val skipScaling = sys.env.get("SPARK_GRAFT_BENCH_SKIP_SCALING").contains("1")
 
-    // ---- scaling: identical extraction job, fresh JVM per level ----
-    // This sandbox is a microVM with bursty neighbor steal (identical runs
-    // measured 20x apart); interleave the two levels and take per-level
-    // best so one clean run per level survives the noise.
-    // N and 4N parallelism levels. Default 2 vs 8: far below the 32-core
-    // host's saturation point, where neighbor steal and all-core frequency
-    // effects distort least (8-vs-32 measured noisier by far).
-    val Array(coresN, cores4N) = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES", "2,8")
-      .split(",").map(_.trim.toInt)
-    // local-iteration escape hatch: per-query timings only (the scaling
-    // phase costs ~20 min of fresh-JVM children); the driver never sets it
-    val reps =
-      if (sys.env.get("SPARK_GRAFT_BENCH_SKIP_SCALING").contains("1")) 0
-      else sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val runsN = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-    val runs4N = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-    (1 to reps).foreach { i =>
-      runsN += tputInChildJvm(coresN, scratch)
-      runs4N += tputInChildJvm(cores4N, scratch)
-      System.err.println(s"[bench] rep $i: tN=${runsN.last} t4N=${runs4N.last}")
-    }
-    if (reps == 0) { runsN += ((0.0, 0.0)); runs4N += ((0.0, 0.0)) }
-    val tN = runsN.map(_._1).max
-    val t4N = runs4N.map(_._1).max
-    val cN = runsN.map(_._2).max
-    val c4N = runs4N.map(_._2).max
-    val ratio = cores4N.toDouble / coresN
-    val effWall = if (tN > 0) t4N / (ratio * tN) else 0.0
-    val effCpu = if (cN > 0) c4N / (ratio * cN) else 0.0
+    State.sfDir = sfDir
+    State.budgetSec = budget
+    State.startNanos = System.nanoTime()
+    def remaining: Double = budget - State.elapsed
+    Runtime.getRuntime.addShutdownHook(new Thread(() => State.emit()))
 
-    // ---- per-query timings at the driver's cpu count ----
+    // ---- phase 1: per-query timings at the driver's cpu count ----
     // interleaved rounds + per-query min (see scaladoc): one warmup pass,
-    // then `qreps` timed passes over the whole sorted list
+    // then up to `qreps` timed passes, stopping when the phase share of the
+    // budget is spent (scaling needs the rest; with scaling skipped the
+    // queries may use nearly all of it)
     val qreps = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_REPS", "3").toInt
+    val queryPhaseCap = if (skipScaling) budget - 30 else budget * 0.45
     val s = session(cpus)
     val qs0 = SparkEntry.queries.toSeq.sortBy(_._1)
-    qs0.foreach { case (name, fn) =>
+    var break = false
+    for ((name, fn) <- qs0 if !break) { // warmup (uncounted; misses run cold)
       try force(fn(s, sfDir)) catch { case _: Throwable => () }
+      if (State.elapsed > queryPhaseCap * 0.5) break = true
     }
-    val timed = (1 to qreps).map { r =>
-      qs0.map { case (name, fn) =>
+    var r = 0
+    while (r < qreps && State.elapsed < queryPhaseCap) {
+      r += 1
+      for ((name, fn) <- qs0 if State.elapsed < queryPhaseCap) {
         val sec = try time(force(fn(s, sfDir))) catch { case _: Throwable => -1.0 }
         System.err.println(s"[bench] round $r $name: $sec")
-        name -> sec
-      }.toMap
-    }
-    val results = qs0.map { case (name, _) =>
-      val xs = timed.map(_(name))
-      name -> (if (xs.forall(_ < 0)) -1.0 else xs.filter(_ >= 0).min)
+        State.queryTimes.merge(name, sec,
+          (a, b) => if (a < 0) b else if (b < 0) a else math.min(a, b))
+      }
+      State.queryRounds = r
     }
     s.stop()
+    System.err.println(f"[bench] query phase done: $r rounds, ${State.elapsed}%.0f s elapsed")
 
-    val qs = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    def arr(xs: Seq[Double]) = xs.map(x => f"$x%.1f").mkString("[", ",", "]")
-    // "efficiency" = WALL-clock ratio (the honest headline; sensitive to
-    // stragglers/idle loss); "efficiency_cpu" = CPU-time-derived ratio
-    // (steal-immune cross-check — rationale in BASELINE.md)
-    val scaling =
-      s"""{"docs":$nDocs,"cores_n":$coresN,"cores_4n":$cores4N,"docs_per_sec_n":${f"$tN%.1f"},"docs_per_sec_4n":${f"$t4N%.1f"},"efficiency":${f"$effWall%.3f"},"efficiency_cpu":${f"$effCpu%.3f"},"cpu_docs_per_sec_n":${f"$cN%.1f"},"cpu_docs_per_sec_4n":${f"$c4N%.1f"},"wall_runs_n":${arr(runsN.map(_._1).toSeq)},"wall_runs_4n":${arr(runs4N.map(_._1).toSeq)},"cpu_runs_n":${arr(runsN.map(_._2).toSeq)},"cpu_runs_4n":${arr(runs4N.map(_._2).toSeq)}}"""
-    println(
-      s"""{"metric":"total_query_sec","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
+    // ---- phase 2+3: scaling (prep then fresh-JVM interleaved reps) ----
+    // N and 4N parallelism levels. Default 2 vs 8: far below the 32-core
+    // host's saturation point, where neighbor steal and all-core frequency
+    // effects distort least (8-vs-32 measured local[32] COLLAPSING on this
+    // host — see BASELINE.md).
+    val Array(coresN, cores4N) = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES", "2,8")
+      .split(",").map(_.trim.toInt)
+    State.coresN = coresN
+    State.cores4N = cores4N
+    val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+
+    if (!skipScaling && remaining > 300) {
+      // prep: materialize the replicated span table (not timed). spanMult
+      // fattens each doc (repeat + re-offset) so per-doc kernel work
+      // dominates fixed overheads — the compute regime the claim is about
+      val spanMult = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPAN_MULT", "8").toInt
+      val skipPrep = sys.env.get("SPARK_GRAFT_BENCH_SKIP_PREP").contains("1") &&
+        new java.io.File(scratch).exists()
+      val prep = session(cpus)
+      if (!skipPrep) {
+        val base = graft.synth.SpanSynth.docsInput(prep, sfDir)
+        val fat = flatten(array_repeat(col("spans"), spanMult))
+        val refat = transform(fat, (sp, i) => struct(
+          sp.getField("kind").as("kind"),
+          sp.getField("text").as("text"),
+          sp.getField("media_ref").as("media_ref"),
+          i.cast("int").as("offset")))
+        val replicated = base
+          .select(explode(sequence(lit(0), lit(rep - 1))).as("r"), col("doc_id"),
+            refat.as("spans"))
+          .select(concat(col("doc_id"), lit("-"), col("r")).as("doc_id"), col("spans"))
+        replicated.repartition(128).write.mode("overwrite").parquet(scratch)
+      }
+      State.nDocs = prep.read.parquet(scratch).count()
+      prep.stop()
+      System.err.println(f"[bench] prepared ${State.nDocs} docs at $scratch (${State.elapsed}%.0f s elapsed)")
+
+      // interleaved paired reps, best-of per level; a rep launches only if
+      // the remaining budget fits it (estimated from the last rep, with a
+      // floor for the first), and each child gets the remaining budget
+      // minus a reserve as its hard timeout
+      var lastRepSec = 0.0
+      var i = 0
+      var stop = false
+      while (i < maxReps && !stop) {
+        if (remaining < math.max(1.2 * lastRepSec, 150)) {
+          System.err.println(f"[bench] budget: skipping scaling rep ${i + 1} (${remaining}%.0f s left)")
+          stop = true
+        } else {
+          val repT0 = State.elapsed
+          val childCap = remaining - 45
+          tputInChildJvm(coresN, scratch, childCap) match {
+            case None => stop = true
+            case Some(nRun) =>
+              tputInChildJvm(cores4N, scratch, remaining - 45) match {
+                case None => stop = true // unpaired N run discarded (fair best-of)
+                case Some(n4Run) =>
+                  State.runsN.add(nRun)
+                  State.runs4N.add(n4Run)
+                  lastRepSec = State.elapsed - repT0
+                  i += 1
+                  System.err.println(f"[bench] rep $i: tN=$nRun t4N=$n4Run (${lastRepSec}%.0f s)")
+              }
+          }
+        }
+      }
+    } else if (!skipScaling) {
+      System.err.println(f"[bench] budget: scaling phase skipped entirely (${remaining}%.0f s left)")
+    }
+
+    State.emit()
   }
 }

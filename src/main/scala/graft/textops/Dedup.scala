@@ -59,34 +59,59 @@ object Dedup {
       i => array_join(slice(ws, i + 1, lit(ShingleSize)), " ")))
   }
 
-  /** Append a rounded Jaccard column, computing the intersection ONCE
-    * (a naive `|∩|/|∪|` expression would evaluate `array_intersect` twice
-    * per pair — measured 2x on the LSH verify stage).
+  /** Column-op reference formula for the Jaccard verify stage (what the
+    * DuckDB oracle mirrors; parity with the native [[JaccardExpr]] is
+    * pinned in PortableHashSpec). Not used in the execution path: Catalyst
+    * pushes the threshold filter into the bucket join's condition and
+    * re-inlines the whole tree — round-2 plans showed `array_intersect`
+    * THREE times per candidate pair.
+    */
+  def jaccardColumnar(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    round(inter.cast("double") / (size(a) + size(b) - inter).cast("double"), 6)
+  }
+
+  /** Score candidate pairs with the native single-pass [[JaccardExpr]] and
+    * MATERIALIZE the scored table (id_a, id_b, jaccard) — three narrow
+    * columns — so the downstream threshold filter reads scored rows
+    * instead of being pushed into the join condition (which would
+    * re-evaluate the kernel once in the condition and once in the
+    * projection). One kernel evaluation per candidate pair, total.
+    * At deployment scale the scored-pair table is the natural persisted
+    * stage boundary of a dedup pipeline anyway.
     */
   private def withJaccard(pairs: DataFrame): DataFrame =
     pairs
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .select(col("id_a"), col("id_b"),
-        round(col("inter").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"), 6)
-          .as("jaccard"))
+        Jaccard.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** N-gram Jaccard near-dup with composite blocking: candidate pairs must
     * share (first-[[BlockWords]]-words prefix, shingle-count bucket).
     *
     * The prefix alone is quadratic WITHIN a block — on a clustered web
     * corpus a common prefix ("the ...") degenerates toward all-pairs. The
-    * secondary key is `floor(log2(|shingles|))`, and every doc is emitted
-    * at buckets {b, b+1, b+2}; for J >= 0.4, |A∩B| <= min and |A∪B| >= max
-    * force min/max >= 0.4 > 1/2.5, so the two docs' buckets differ by at
-    * most 2 and ALWAYS share an emitted key — recall is exact, while a
-    * same-prefix block of mixed sizes splits into bounded sub-blocks.
+    * secondary key is `b = floor(log2(|shingles|))`, and every doc is
+    * emitted at buckets {b .. b+span} with `span = ceil(log2(1/threshold))`
+    * DERIVED from the requested threshold: J >= t forces
+    * max(|A|,|B|)/min(|A|,|B|) <= 1/t (since |A∩B| <= min and
+    * |A∪B| >= max), and floor-log2 buckets of sizes within ratio R differ
+    * by < log2(R)+1 — so a qualifying pair's buckets differ by at most
+    * `span` and ALWAYS share an emitted key. Recall is exact for ANY
+    * threshold in (0,1] (a hardcoded span of 2 was exact only for
+    * t >= 0.25 and silently dropped pairs below it), while a same-prefix
+    * block of mixed sizes still splits into bounded sub-blocks.
     *
     * Join shape mirrors MinHash-LSH: the block join carries only
     * (doc_id, key), candidate ids dedupe BEFORE shingle arrays join back.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String,
       threshold: Double = 0.4): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    // smallest span with 2^span >= 1/threshold (see scaladoc); default
+    // t=0.4 => span 2, the shape the sf-pinned DuckDB oracle mirrors
+    val span = { var s = 0; while (math.pow(2, s) * threshold < 1.0) s += 1; s }
     val d = docs(spark, sfDir)
     val base = d
       .where(size(wordsOf(d("text"))) >= ShingleSize)
@@ -99,7 +124,7 @@ object Dedup {
         (length(conv(size(col("sh")).cast("string"), 10, 2)) - 1).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = base.select(col("doc_id"), col("block"),
-      explode(array(col("lb"), col("lb") + 1, col("lb") + 2)).as("lb"))
+      explode(array((0 to span).map(i => col("lb") + i): _*)).as("lb"))
     val a = keyed.select(col("doc_id").as("id_a"), col("block"), col("lb"))
     val b = keyed.select(col("doc_id").as("id_b"), col("block"), col("lb"))
     val cand = a.join(b, Seq("block", "lb")).where(col("id_a") < col("id_b"))

@@ -58,6 +58,41 @@ class PortableHashSpec extends AnyFunSuite with SparkSpec {
     assert(native.sortBy(_._1).toSeq === columnar.sortBy(_._1).toSeq)
   }
 
+  test("native jaccard expression == columnar reference (sf0.001 shingle arrays)") {
+    import graft.textops.{Dedup, Jaccard}
+    import spark.implicits._
+    // real shingle arrays: self-join a sample of docs on a cheap key so the
+    // pair inputs have realistic overlap structure, plus edge pairs
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(0, size(w) - 3), i -> array_join(slice(w, i + 1, 3), ' ')))")
+        .as("sh"))
+      .limit(40).cache()
+    val pairs = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      .crossJoin(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
+      .where(col("id_a") < col("id_b")).cache()
+    val native = pairs
+      .select(col("id_a"), col("id_b"), Jaccard.jaccard(col("sh_a"), col("sh_b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val columnar = pairs
+      .select(col("id_a"), col("id_b"), Dedup.jaccardColumnar(col("sh_a"), col("sh_b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(native.sortBy(p => (p._1, p._2)).toSeq ===
+      columnar.sortBy(p => (p._1, p._2)).toSeq)
+    pairs.unpersist(); d.unpersist()
+    // edge cases: identical, disjoint, subset
+    val edge = Seq(
+      (Seq("a b c", "b c d"), Seq("a b c", "b c d")),
+      (Seq("a b c"), Seq("x y z")),
+      (Seq("a b c", "b c d", "c d e"), Seq("b c d"))).toDF("sh_a", "sh_b")
+    val en = edge.select(Jaccard.jaccard(col("sh_a"), col("sh_b"))).collect().map(_.getDouble(0))
+    val ec = edge.select(Dedup.jaccardColumnar(col("sh_a"), col("sh_b"))).collect().map(_.getDouble(0))
+    assert(en.toSeq === ec.toSeq)
+    assert(en.toSeq === Seq(1.0, 0.0, BigDecimal(1.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
   test("media stub decode is deterministic and in documented ranges") {
     val f = graft.media.MediaFeatures.decodeOne(
       graft.media.MediaFeatures.MediaRef("d", "media://d/0", 1))
