@@ -65,6 +65,9 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) => graft.textops.TextAnalysis.repetition(s, dir)),
     // multimodal plumbing (stubbed decode, real schema/batching)
     "media_features" -> ((s, dir) => graft.media.MediaFeatures.features(s, dir)),
+    // REAL javax.imageio decode: PNG encode->decode round trip per image
+    // span, oracle-checked against the closed-form dimensions
+    "media_decode" -> ((s, dir) => graft.media.MediaFeatures.decodeRoundTrip(s, dir)),
     // LLM-stage string/JSON ops (L1 / L5 / L4)
     "llm_prompt_build" -> ((s, dir) => graft.textops.LlmFormat.promptBuildQuery(s, dir)),
     "llm_extract_values" -> ((s, dir) => graft.textops.LlmFormat.extractValuesQuery(s, dir)),
@@ -109,6 +112,7 @@ SELECT doc_id, kind, text, media_ref, "offset" FROM synth ORDER BY doc_id, "offs
     "text_fingerprint" -> graft.verify.TextOracles.fingerprint,
     "text_repetition" -> graft.verify.TextOracles.repetition,
     "media_features" -> graft.verify.TextOracles.mediaFeatures,
+    "media_decode" -> graft.verify.TextOracles.mediaDecode,
     "llm_prompt_build" -> graft.verify.TextOracles.promptBuild,
     "llm_extract_values" -> graft.verify.TextOracles.extractValues,
     "llm_format_response" -> graft.verify.TextOracles.formatResponse,

@@ -14,6 +14,18 @@ import org.apache.spark.sql.functions._
   *  - `mapPartitions` with ONE transport instance per partition — the
   *    pooled-HTTP-client amortization the reference gets from a long-lived
   *    Celery worker process (workers.py:28-37);
+  *  - a submit-time LIVENESS PROBE on the transport (the reference checks
+  *    Ollama `/api/tags` before dispatching the stage,
+  *    workers.py:205-224) — a dead endpoint fails the submit, not 10^12
+  *    rows one timeout at a time;
+  *  - per-row RETRY-THEN-DEAD-LETTER (reference workers.py:137-139:
+  *    3 retries, 60·2ⁿ s backoff, then status=ERROR+error_message):
+  *    transient transport failures retry with the reference's backoff
+  *    schedule; deterministic failures ([[DeterministicLlmError]]) and
+  *    exhausted retries become a dead-letter ROW (`llm_response` null,
+  *    `llm_error` set, attempt count recorded) — one bad row must not
+  *    kill the job, and retrying a deterministic error 3x is wasted work
+  *    at scale (SURVEY.md §2.5 P4);
   *  - the L4/L5 formatting stage (P3) applied to the raw replies;
   *  - provider validation (V3) at submit time.
   *
@@ -28,13 +40,27 @@ object LlmStage {
 
   val DefaultModel = "echo-1"
 
-  /** Replies carry extractable key-value text so the downstream L4/L5
-    * format stage does real work: `name: {w1}, ref: {h32(prompt)}`.
+  /** Reference retry policy (workers.py:39,137-139): `max_retries=3`,
+    * backoff `60 * 2**retries` seconds. Retries are PER ROW, not per task:
+    * a Spark task failure would replay the whole partition against the
+    * external service.
     */
-  val Template = """{"name": "", "ref": ""}"""
+  val MaxRetries = 3
+  def referenceBackoffMs(retryIdx: Int): Long = 60000L * (1L << retryIdx)
+
+  /** A transport failure retrying cannot fix (malformed prompt, 4xx-class
+    * rejection). Dead-letters immediately — no retry, no backoff.
+    */
+  class DeterministicLlmError(msg: String) extends RuntimeException(msg)
 
   trait LlmTransport extends Serializable {
     def generate(model: String, prompt: String): String
+
+    /** Submit-time liveness probe (reference workers.py:205-224 GETs
+      * `/api/tags` and aborts the task chain when Ollama is down). Cheap,
+      * driver-side, called once per stage submit — not per row.
+      */
+    def live(): Boolean = true
   }
 
   /** Deterministic in-sandbox transport: digest of the full prompt plus
@@ -53,10 +79,23 @@ object LlmStage {
     }
   }
 
-  /** Run the generate stage: `(doc_id, full_prompt)` in,
-    * `(doc_id, llm_response)` appended — one transport per partition.
+  /** Run the generate stage: `(doc_id, full_prompt)` in;
+    * `(doc_id, full_prompt, llm_response, llm_error, llm_attempts)` out —
+    * one transport per partition, per-row retry-then-dead-letter.
+    * Rows with `llm_error` non-null ARE the dead-letter view
+    * ([[deadLetters]]); successful rows carry a null error.
+    *
+    * @param backoffMs sleep before retry `i` (0-based); the default is the
+    *                  reference schedule — tests inject `_ => 0L`.
     */
-  def generate(df: DataFrame, model: String, transport: LlmTransport): DataFrame = {
+  def generate(df: DataFrame, model: String, transport: LlmTransport,
+      maxRetries: Int = MaxRetries,
+      backoffMs: Int => Long = referenceBackoffMs,
+      probeLiveness: Boolean = true): DataFrame = {
+    if (probeLiveness)
+      require(transport.live(),
+        s"LLM transport for model '$model' failed the liveness probe — " +
+          "refusing to dispatch the stage (reference workers.py:205-224)")
     val spark = df.sparkSession
     import spark.implicits._
     // doc_id is the primary key (reference models.py:18, NOT NULL); a
@@ -70,11 +109,38 @@ object LlmStage {
         rows.map { case (id, prompt) =>
           // null prompt (null doc text) degrades to a null reply — one bad
           // row must not kill a 10^12-doc job
-          (id, prompt, if (prompt == null) null else t.generate(model, prompt))
+          if (prompt == null) (id, prompt, null: String, null: String, 0)
+          else {
+            var attempt = 0
+            var reply: String = null
+            var err: String = null
+            var done = false
+            while (!done) {
+              attempt += 1
+              try { reply = t.generate(model, prompt); err = null; done = true }
+              catch {
+                case e: DeterministicLlmError =>
+                  err = s"deterministic: ${e.getMessage}"; done = true
+                case scala.util.control.NonFatal(e) =>
+                  err = s"transient: ${e.getClass.getSimpleName}: ${e.getMessage}"
+                  if (attempt > maxRetries) done = true
+                  else Thread.sleep(backoffMs(attempt - 1))
+              }
+            }
+            (id, prompt, reply, err, attempt)
+          }
         }
       }
-      .toDF("doc_id", "full_prompt", "llm_response")
+      .toDF("doc_id", "full_prompt", "llm_response", "llm_error", "llm_attempts")
   }
+
+  /** Dead-letter view over [[generate]]'s output: the rows whose transport
+    * call failed terminally (the reference's status=ERROR rows,
+    * workers.py:273-275).
+    */
+  def deadLetters(generated: DataFrame): DataFrame =
+    generated.where(col("llm_error").isNotNull)
+      .select("doc_id", "llm_error", "llm_attempts")
 
   /** The full P1→P2→P3 chain over the documents table: prompt build (L1),
     * generate (stub transport), format (L4) — the driver query + oracle
@@ -93,4 +159,9 @@ object LlmStage {
           lit(null).cast("string")).as("formatted_response"))
       .orderBy("doc_id")
   }
+
+  /** Replies carry extractable key-value text so the downstream L4/L5
+    * format stage does real work: `name: {w1}, ref: {h32(prompt)}`.
+    */
+  val Template = """{"name": "", "ref": ""}"""
 }

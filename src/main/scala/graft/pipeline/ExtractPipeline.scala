@@ -340,6 +340,22 @@ object ExtractPipeline {
       (col("finished_ts").isNull && col("started_ts") >= cutoff))
   }
 
+  /** Small-file compaction for the checkpoint + lineage stores, with no
+    * retention cut: every run appends one `coalesce(1)` parquet file per
+    * write (claim rows, done rows, empty rows, lineage), so thousands of
+    * runs leave thousands of tiny files that `metrics`/`doneBuckets`
+    * re-list on every call. The crash-safe rewrite in [[rewriteKeeping]]
+    * already lands the whole store in one file — this entry point runs it
+    * with `keep = true` so operators can compact WITHOUT expiring rows
+    * (the reference's hourly beat couples the two, workers.py:385-390;
+    * [[cleanupCheckpoints]] is that coupled shape and compacts as a side
+    * effect). Returns rows kept. Same single-writer contract as cleanup.
+    */
+  def compactCheckpoints(spark: SparkSession, outDir: String): Long = {
+    rewriteKeeping(spark, s"$outDir/_lineage", lit(true))
+    rewriteKeeping(spark, s"$outDir/_checkpoints", lit(true))
+  }
+
   private def rewriteKeeping(spark: SparkSession, path: String,
       keep: org.apache.spark.sql.Column): Long = {
     recoverStore(spark, path) // a crashed prior rewrite left only <path>_old
@@ -357,9 +373,16 @@ object ExtractPipeline {
     // one hourly beat, workers.py:385-390); readers self-heal via
     // recoverStore, but two concurrent cleanups are not supported. Rename
     // results are checked so an interleaving fails LOUDLY instead of
-    // silently leaving expired rows or nesting directories.
+    // silently leaving expired rows or nesting directories — including the
+    // quiet one: if a concurrent reader's recoverStore restores the store
+    // between the two renames, `rename(pTmp, p)` with an existing
+    // DIRECTORY destination moves _tmp INSIDE it and still returns true.
     require(fs.rename(p, pOld), s"cleanup: rename $p aside failed")
+    require(!fs.exists(p),
+      s"cleanup: $p reappeared between renames (concurrent recoverStore?) — aborting")
     require(fs.rename(pTmp, p), s"cleanup: rename $pTmp into place failed")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(p, pTmp.getName)),
+      s"cleanup: rename nested $pTmp inside $p instead of replacing it")
     fs.delete(pOld, true)
     n
   }

@@ -453,4 +453,18 @@ FROM r ORDER BY doc_id"""
 FROM (${ExtractOracle.sql(None)})
 WHERE kind = 'image'
 ORDER BY doc_id, "offset""""
+
+  /** Expected metadata of the media_decode round trip: the Spark side
+    * PNG-encodes an image of these closed-form dimensions and emits what
+    * `javax.imageio` DECODES back — a hash match proves the real decode
+    * chain agrees with the encoder bit-for-bit on every ref.
+    */
+  val mediaDecode: String =
+    s"""SELECT doc_id, media_ref, "offset",
+  CAST(1 + ${h32("media_ref || '#w'")} % 48 AS INT) AS width,
+  CAST(1 + ${h32("media_ref || '#h'")} % 48 AS INT) AS height,
+  'png' AS format
+FROM (${ExtractOracle.sql(None)})
+WHERE kind = 'image'
+ORDER BY doc_id, "offset""""
 }

@@ -172,6 +172,46 @@ class ResumeSpec extends AnyFunSuite with SparkSpec {
     assert(redo.bucketsDone === 0 && redo.docsProcessed === input.count())
   }
 
+  test("compaction folds N runs' small files into one, resume semantics intact") {
+    val out = freshDir()
+    val B = 4
+    // several runs against the same store: run 1 does the work, later runs
+    // are no-ops but still append claim/lineage files — the small-file
+    // accumulation the compactor exists for
+    (1 to 4).foreach { i =>
+      ExtractPipeline.run(spark, input,
+        ExtractPipeline.Config(out, s"run-$i", numBuckets = B))
+    }
+    def parquetFiles(dir: String): Int =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$out/_checkpoints") > 1)
+    assert(parquetFiles(s"$out/_lineage") > 1)
+    val doneBefore = spark.read.parquet(s"$out/_checkpoints")
+      .where(col("status") === "done").count()
+    val metricsBefore = ExtractPipeline.metrics(spark, out)
+      .orderBy("bucket").collect().toSeq
+
+    val kept = ExtractPipeline.compactCheckpoints(spark, out)
+
+    // one file per store, zero rows lost, identical metrics view
+    assert(parquetFiles(s"$out/_checkpoints") === 1)
+    assert(parquetFiles(s"$out/_lineage") === 1)
+    assert(kept === spark.read.parquet(s"$out/_checkpoints").count())
+    assert(spark.read.parquet(s"$out/_checkpoints")
+      .where(col("status") === "done").count() === doneBefore)
+    assert(spark.read.parquet(s"$out/_lineage").count() === 4)
+    assert(ExtractPipeline.metrics(spark, out)
+      .orderBy("bucket").collect().toSeq === metricsBefore)
+
+    // resume after compaction is still a no-op
+    val r = ExtractPipeline.run(spark, input,
+      ExtractPipeline.Config(out, "run-post", numBuckets = B))
+    assert(r.bucketsDone === B)
+    assert(r.docsProcessed === 0)
+    assert(ExtractPipeline.verifyCheckpoints(spark, out).count() === 0)
+  }
+
   test("oversize cap (V2) records an error row instead of extracting") {
     val out = freshDir()
     val cap = 400L
