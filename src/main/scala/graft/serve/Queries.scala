@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   */
 object Queries {
 
-  /** Per-doc status row: doc class, span/image/error counts, chars. */
-  def docStatus(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = Extractor.extract(SpanSynth.docsInput(spark, sfDir))
+  /** Per-doc status projection over any extracted-output relation
+    * (inline extraction or the pipeline's stored `data/` table).
+    */
+  def statusProjection(out: DataFrame): DataFrame =
     out.select(
       col("doc_id"),
       pmod(substring(col("doc_id"), 5, 8).cast("long"), lit(5L)).as("cls"),
@@ -23,7 +24,10 @@ object Queries {
       size(filter(col("spans"), s => s.getField("kind") === "error")).as("n_errors"),
       aggregate(col("spans"), lit(0L),
         (acc, s) => acc + coalesce(length(s.getField("text")), lit(0))).as("text_chars"))
-  }
+
+  /** Per-doc status row: doc class, span/image/error counts, chars. */
+  def docStatus(spark: SparkSession, sfDir: String): DataFrame =
+    statusProjection(Extractor.extract(SpanSynth.docsInput(spark, sfDir)))
 
   /** Q1 — queue scan + sort (reference main.py:339-382): every doc with a
     * derived status, deterministically ordered. At scale this is a
@@ -47,6 +51,52 @@ object Queries {
       col("doc_id"),
       size(col("spans")).as("n_spans"),
       // COMPLETED-but-empty consistency rule (reference main.py:433-447)
+      when(size(filter(col("spans"), s => s.getField("kind") === "error")) > 0,
+        lit("ERROR")).otherwise(lit("COMPLETED")).as("status"),
+      array_join(transform(
+        filter(col("spans"), s => s.getField("kind") === "text"),
+        s => s.getField("text")), "\n").as("extracted_text"))
+  }
+
+  /** Bucket of a doc id under [[graft.pipeline.ExtractPipeline]]'s layout
+    * (`pmod(xxhash64(doc_id), numBuckets)`), computed DRIVER-side so a
+    * point lookup carries a literal partition predicate — the scan prunes
+    * to one bucket directory before listing a single file.
+    */
+  def bucketOf(docId: String, numBuckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = XxHash64(Seq(Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(docId),
+      org.apache.spark.sql.types.StringType)), 42L)
+      .eval(null).asInstanceOf[Long]
+    (((h % numBuckets) + numBuckets) % numBuckets).toInt
+  }
+
+  /** Q1 over the STORED table: queue scan + sort reading the pipeline's
+    * `data/` output instead of re-extracting — the serving path of a
+    * deployment, where the extraction ran once and queries hit the
+    * bucketed parquet layout.
+    */
+  def queueFrom(spark: SparkSession, outDir: String): DataFrame =
+    statusProjection(spark.read.parquet(s"$outDir/data"))
+      .withColumn("status",
+        when(col("n_errors") > 0, lit("ERROR")).otherwise(lit("COMPLETED")))
+      .orderBy(col("doc_id"))
+
+  /** Q2 over the STORED table: point lookup with an explicit bucket
+    * predicate, so partition pruning reduces the scan to ONE bucket
+    * directory (then row-group pruning on the pushed doc_id filter) —
+    * at 100 TB the difference between listing every file and touching
+    * one partition.
+    */
+  def lookupFrom(spark: SparkSession, outDir: String, docId: String,
+      numBuckets: Int): DataFrame = {
+    val out = spark.read.parquet(s"$outDir/data")
+      .where(col("bucket") === bucketOf(docId, numBuckets) &&
+        col("doc_id") === docId)
+    out.select(
+      col("doc_id"),
+      size(col("spans")).as("n_spans"),
       when(size(filter(col("spans"), s => s.getField("kind") === "error")) > 0,
         lit("ERROR")).otherwise(lit("COMPLETED")).as("status"),
       array_join(transform(

@@ -100,10 +100,15 @@ object TextAnalysis {
     */
   def repetition(spark: SparkSession, sfDir: String): DataFrame = {
     val d = loadDocs(spark, sfDir)
-    d.select(
-      d("doc_id"),
-      element_at(repetitionFracs(d("text")), 1).as("dup_2gram_frac"),
-      element_at(repetitionFracs(d("text")), 2).as("dup_3gram_frac"))
+    // evaluate the native kernel ONCE per row: the fracs array gets its
+    // own projection and is referenced twice downstream, so
+    // CollapseProject's cost check keeps the non-cheap kernel from being
+    // re-inlined per element_at (the previous shape evaluated the
+    // O(words) pass 2x, once per extracted element)
+    d.select(d("doc_id"), repetitionFracs(d("text")).as("fracs"))
+      .select(col("doc_id"),
+        element_at(col("fracs"), 1).as("dup_2gram_frac"),
+        element_at(col("fracs"), 2).as("dup_3gram_frac"))
       .withColumn("keep",
         col("dup_2gram_frac") <= Dup2Max && col("dup_3gram_frac") <= Dup3Max)
       .orderBy("doc_id")

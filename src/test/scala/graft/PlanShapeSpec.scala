@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regressions for the known Catalyst re-evaluation traps
+  * (CollapseProject / filter pushdown re-inlining non-cheap expressions):
+  * the expensive native kernels must appear EXACTLY ONCE in the optimized
+  * plan of their queries. A regression here is invisible to the value
+  * oracle (same results, N× the work) — only the plan shows it.
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def optimized(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("repetition evaluates the repetition_fracs kernel once per row") {
+    val plan = optimized(graft.textops.TextAnalysis.repetition(spark, sf))
+    assert(count(plan, "repetition_fracs(") === 1, s"\n$plan")
+  }
+
+  test("minhash LSH verify evaluates the jaccard kernel once per pair") {
+    val plan = optimized(graft.textops.Dedup.minhashLsh(spark, sf))
+    assert(count(plan, "jaccard(") === 1, s"\n$plan")
+    assert(!plan.contains("array_intersect"))
+  }
+
+  test("ngram Jaccard verify evaluates the jaccard kernel once per pair") {
+    val plan = optimized(graft.textops.Dedup.ngramJaccard(spark, sf))
+    assert(count(plan, "jaccard(") === 1, s"\n$plan")
+    assert(!plan.contains("array_intersect"))
+  }
+
+  test("fingerprint/simhash kernels appear once in their queries") {
+    val fp = optimized(graft.textops.TextAnalysis.fingerprint(spark, sf))
+    assert(count(fp, "fingerprint60(") === 1, s"\n$fp")
+    val sh = optimized(graft.textops.Dedup.simhashFingerprints(spark, sf))
+    assert(count(sh, "simhash60(") === 1, s"\n$sh")
+  }
+
+  test("flagship extraction plan has no shuffle and a pruned scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-planshape").toString
+    graft.synth.SpanSynth.docsInput(spark, sf).write.mode("overwrite")
+      .parquet(s"$tmp/spans")
+    val df = graft.extract.Extractor.extract(spark.read.parquet(s"$tmp/spans"))
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"\n$phys")
+    assert(count(phys, "extract_spans(") === 1, s"\n$phys")
+  }
+}

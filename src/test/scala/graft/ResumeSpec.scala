@@ -172,6 +172,40 @@ class ResumeSpec extends AnyFunSuite with SparkSpec {
     assert(redo.bucketsDone === 0 && redo.docsProcessed === input.count())
   }
 
+  test("serve queries over the STORED table: lookup prunes to one bucket partition") {
+    import graft.serve.Queries
+    val out = freshDir()
+    val B = 8
+    ExtractPipeline.run(spark, input, ExtractPipeline.Config(out, "r1", numBuckets = B))
+
+    // queue over data/ covers every stored doc with derived status
+    val q = Queries.queueFrom(spark, out)
+    assert(q.count() === input.count())
+    assert(q.columns.contains("status"))
+
+    // pick a real doc id; driver-side bucket matches the stored partition
+    val someId = spark.read.parquet(s"$out/data")
+      .select("doc_id", "bucket").limit(1).collect()(0)
+    val docId = someId.getString(0)
+    assert(Queries.bucketOf(docId, B) === someId.getInt(1))
+
+    val lk = Queries.lookupFrom(spark, out, docId, B)
+    val rows = lk.collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[String]("doc_id") === docId)
+    assert(rows(0).getAs[String]("extracted_text") !== null)
+
+    // the physical scan must carry the bucket PARTITION filter (pruning to
+    // one directory) and push the doc_id filter to parquet
+    val scan = lk.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.partitionFilters.exists(_.toString.contains("bucket")),
+      s"no bucket partition filter in: ${scan.partitionFilters}")
+    assert(scan.metadata("PushedFilters").contains("EqualTo(doc_id,"),
+      s"doc_id not pushed: ${scan.metadata("PushedFilters")}")
+  }
+
   test("compaction folds N runs' small files into one, resume semantics intact") {
     val out = freshDir()
     val B = 4
