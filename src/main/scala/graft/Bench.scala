@@ -187,9 +187,11 @@ object Bench {
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (e.taskMetrics != null) { cpuNs.addAndGet(e.taskMetrics.executorCpuTime); () }
     })
+    val t0 = System.nanoTime()
     val cached = s.read.parquet(scratch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = cached.count() // materialize the cache
+    System.err.println(f"[bench] child cores=$cores: cached $nDocs docs in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     // force the kernel with an int-only aggregate: size() consumes the
     // whole extract_spans output array (a custom expression can't be
     // partially evaluated) but hashing the multi-GB output — as the
@@ -201,11 +203,12 @@ object Bench {
       ()
     }
     run() // warmup
-    val measured = (1 to 2).map { _ =>
+    val measured = (1 to 2).map { i =>
       Thread.sleep(300) // let async listener events drain
       val cpu0 = cpuNs.get()
       val wall = time(run())
       Thread.sleep(300)
+      System.err.println(f"[bench] child cores=$cores: pass $i ${wall}%.1f s wall")
       (wall, (cpuNs.get() - cpu0) / 1e9)
     }
     val (wallSec, cpuSec) = measured.minBy(_._1)
@@ -220,7 +223,12 @@ object Bench {
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val rep = sys.env.getOrElse("SPARK_GRAFT_BENCH_REP", "50").toInt
+    // 20x replication (~100k docs at sf0.1) rather than round-2's 50x:
+    // measured passes at local[2] still run ~7 s (ample resolution above
+    // timer noise), while the 2-thread cache materialization + passes fit
+    // the budget even under a steal burst — a 250k-doc local[2] child
+    // measured 714 s under steal, eating the whole scaling allowance
+    val rep = sys.env.getOrElse("SPARK_GRAFT_BENCH_REP", "20").toInt
     val scratch = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft_bench") + "/spans"
     val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1140").toDouble
     val skipScaling = sys.env.get("SPARK_GRAFT_BENCH_SKIP_SCALING").contains("1")
@@ -290,7 +298,7 @@ object Bench {
           .select(explode(sequence(lit(0), lit(rep - 1))).as("r"), col("doc_id"),
             refat.as("spans"))
           .select(concat(col("doc_id"), lit("-"), col("r")).as("doc_id"), col("spans"))
-        replicated.repartition(128).write.mode("overwrite").parquet(scratch)
+        replicated.repartition(32).write.mode("overwrite").parquet(scratch)
       }
       State.nDocs = prep.read.parquet(scratch).count()
       prep.stop()

@@ -56,6 +56,7 @@ object SparkEntry {
     // similarity search over embeddings
     "sim_topk_brute" -> ((s, dir) => graft.textops.Similarity.bruteForceTopK(s, dir)),
     "sim_topk_lsh" -> ((s, dir) => graft.textops.Similarity.lshTopK(s, dir)),
+    "sim_topk_ivf" -> ((s, dir) => graft.textops.Ivf.topK(s, dir)),
     "embed_near_dup" -> ((s, dir) => graft.textops.Similarity.embeddingNearDup(s, dir)),
     // text analysis
     "text_lang_id" -> ((s, dir) => graft.textops.TextAnalysis.langId(s, dir)),
@@ -105,6 +106,7 @@ SELECT doc_id, kind, text, media_ref, "offset" FROM synth ORDER BY doc_id, "offs
     "dedup_simhash_pairs" -> graft.verify.TextOracles.simhashPairs,
     "sim_topk_brute" -> graft.verify.TextOracles.bruteForceTopK,
     "sim_topk_lsh" -> graft.verify.TextOracles.lshTopK,
+    "sim_topk_ivf" -> graft.verify.TextOracles.ivfTopK,
     "embed_near_dup" -> graft.verify.TextOracles.embeddingNearDup,
     "text_lang_id" -> graft.verify.TextOracles.langId,
     "text_quality" -> graft.verify.TextOracles.quality,

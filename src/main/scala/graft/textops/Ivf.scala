@@ -1,0 +1,142 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types.{DataType, IntegerType}
+
+/** IVF (inverted-file) approximate nearest neighbor — the third point of
+  * the ANN design space next to [[Similarity.bruteForceTopK]] (exact) and
+  * [[Similarity.lshTopK]] (hash-bucketed):
+  *
+  *  - a COARSE QUANTIZER of [[NumLists]] centroids partitions the vector
+  *    space; every data vector is assigned to its nearest centroid's
+  *    inverted list in one pass ([[IvfAssignExpr]], native kernel);
+  *  - a query computes its [[NProbe]] nearest lists DRIVER-side (the
+  *    centroid table is tiny and list selection needs exactly one vector —
+  *    a bounded 1-row collect, like the pipeline's bucket lists) and scans
+  *    only those lists: the filter is a literal `list_id IN (...)`
+  *    predicate, so with the index table PARTITIONED by `list_id` the scan
+  *    prunes to `NProbe/NumLists` of the corpus before reading a row —
+  *    the classic IVF cost model (probe fraction tunes recall vs cost);
+  *  - survivors get one exact cosine against the query and a
+  *    `TakeOrderedAndProject` top-k — no global sort.
+  *
+  * The codebook here is a FROZEN pseudo-random one (component i of
+  * centroid c is `hexint32("ivf-$c-$i")/2^31 - 1`, the same md5-derived
+  * literal trick as [[Similarity.PlanePool]]) so the DuckDB oracle embeds
+  * identical centroids and verifies assignment + probe + ranking
+  * end-to-end. Production would k-means-train the codebook on a sample —
+  * ONLY the centroid literals change; the assign/probe/rank dataflow and
+  * its scaling shape are exactly what ships here. At deployment
+  * `NumLists` grows ~sqrt(N) (keeping lists at ~sqrt(N) vectors) and the
+  * assignment pass is the index build, written bucketed by `list_id`.
+  */
+object Ivf {
+
+  val Dim = Similarity.Dim
+  val NumLists = 16
+  val NProbe = 4
+  val TopK = Similarity.TopK
+  val QueryVecId = Similarity.QueryVecId
+
+  /** Frozen codebook: centroid c component i = hexint32("ivf-$c-$i")/2^31-1,
+    * uniform in [-1, 1), exactly representable, identical literal in DuckDB.
+    */
+  val Centroids: IndexedSeq[IndexedSeq[Double]] =
+    (0 until NumLists).map { c =>
+      (0 until Dim).map(i =>
+        PortableHash.hexint32(s"ivf-$c-$i").toDouble / 2147483648.0 - 1.0)
+    }
+
+  /** DuckDB literal for the codebook: [[...], [...], ...]. */
+  def duckCentroids: String =
+    Centroids.map(_.mkString("[", ", ", "]")).mkString("[", ",\n    ", "]")
+
+  /** Squared L2 distance, left-to-right fold (== DuckDB `list_sum` over
+    * `list_transform`, == the columnar twin's `aggregate` fold).
+    */
+  def distSq(v: Array[Double], c: IndexedSeq[Double]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < Dim) { val t = v(i) - c(i); d += t * t; i += 1 }
+    d
+  }
+
+  /** Indices of the `n` nearest centroids, ordered by (distance, index) —
+    * strict-less keeps the lower index on ties, matching the columnar
+    * `array_position(dists, array_min(dists))` and the oracle's
+    * `ORDER BY dist, cid`.
+    */
+  def nearestLists(v: Array[Double], n: Int): Seq[Int] =
+    Centroids.indices
+      .map(c => (distSq(v, Centroids(c)), c))
+      .sortBy(identity)
+      .take(n).map(_._2)
+
+  /** Nearest-centroid id — Scala twin of [[IvfAssignExpr]]. */
+  def assignScala(v: Array[Double]): Int = nearestLists(v, 1).head
+
+  /** Column-op reference implementation of the assignment (what the
+    * DuckDB oracle mirrors; parity vs the native kernel pinned in
+    * SimilaritySpec): argmin over per-centroid fold distances,
+    * first-match-wins on ties.
+    */
+  def assignColumnar(e: Column): Column = {
+    val dists = array(Centroids.map { c =>
+      aggregate(zip_with(e, typedLit(c), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  def ivfAssign(e: Column): Column =
+    ColumnShim.column(IvfAssignExpr(ColumnShim.expression(e)))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** The `sim_topk_ivf` driver query: build the inverted-list assignment,
+    * probe the query's [[NProbe]] nearest lists, exact-cosine rank the
+    * survivors. Candidate fraction ~NProbe/NumLists of the corpus.
+    */
+  def topK(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = Similarity.loadEmb(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    // the ONE query vector, collected driver-side (bounded): probe-list
+    // selection happens against the in-driver codebook, turning the probe
+    // into a literal pushable predicate instead of a join
+    val qRow = vecs.where(col("vec_id") === QueryVecId)
+      .select("e", "nrm").head()
+    val qv = qRow.getSeq[Double](0).toArray
+    val qnrm = qRow.getDouble(1)
+    val probes = nearestLists(qv, NProbe)
+    vecs.where(col("vec_id") =!= QueryVecId)
+      .withColumn("list_id", ivfAssign(col("e")))
+      .where(col("list_id").isin(probes: _*))
+      .select(col("vec_id"), col("label"),
+        round(dot(col("e"), typedLit(qv.toSeq)) / (col("nrm") * lit(qnrm)), 6)
+          .as("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(TopK)
+  }
+}
+
+/** Catalyst expression wrapping [[Ivf.assignScala]]: nearest-centroid list
+  * id of a double vector in one pass (the columnar twin runs NumLists
+  * interpreted folds per row).
+  */
+case class IvfAssignExpr(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    Ivf.assignScala(input.asInstanceOf[ArrayData].toDoubleArray())
+  override protected def withNewChildInternal(newChild: Expression): IvfAssignExpr =
+    copy(child = newChild)
+  override def prettyName: String = "ivf_assign"
+}

@@ -237,6 +237,37 @@ FROM cand c JOIN nv n ON n.vec_id = c.vec_id, q
 ORDER BY sim DESC, n.vec_id LIMIT ${Similarity.TopK}"""
   }
 
+  /** IVF top-k (mirrors [[graft.textops.Ivf.topK]]): assign every vector
+    * to its nearest frozen-codebook centroid (ORDER BY dist, cid == the
+    * kernel's strict-less first-wins argmin), probe the query's NProbe
+    * nearest lists, exact-cosine rank the survivors.
+    */
+  val ivfTopK: String = {
+    import graft.textops.Ivf
+    val C = Ivf.NumLists
+    s"""WITH $embCte,
+cb AS (SELECT ${Ivf.duckCentroids} AS cs),
+nv AS (SELECT vec_id, label, v, ${duckNorm("v")} AS nrm FROM e),
+dist AS (
+  SELECT vec_id, CAST(u.c AS INT) AS cid,
+    list_sum(list_transform(range(${graft.textops.Similarity.Dim}), i ->
+      (v[i+1] - cs[CAST(u.c AS INT)+1][i+1]) * (v[i+1] - cs[CAST(u.c AS INT)+1][i+1]))) AS d
+  FROM e, cb, UNNEST(range($C)) u(c)),
+assign AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM dist)
+  WHERE rn = 1),
+probes AS (
+  SELECT cid AS list_id FROM dist WHERE vec_id = ${Ivf.QueryVecId}
+  ORDER BY d, cid LIMIT ${Ivf.NProbe}),
+q AS (SELECT v AS qv, nrm AS qnrm FROM nv WHERE vec_id = ${Ivf.QueryVecId})
+SELECT n.vec_id, n.label, round(${duckDot("n.v", "qv")} / (n.nrm * qnrm), 6) AS sim
+FROM assign a JOIN nv n ON n.vec_id = a.vec_id, q
+WHERE a.list_id IN (SELECT list_id FROM probes) AND a.vec_id <> ${Ivf.QueryVecId}
+ORDER BY sim DESC, n.vec_id LIMIT ${Ivf.TopK}"""
+  }
+
   /** Corpus + planted near-duplicates (mirrors
     * [[graft.textops.Similarity.plantedCorpus]]): every PlantEvery-th
     * vector re-appears with coordinates scaled by 1 + (h%101 - 50)/1000.

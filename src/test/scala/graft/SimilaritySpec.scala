@@ -76,4 +76,44 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     // frozen data + frozen planes: the probe finds the true nearest
     assert(lsh.head.getLong(0) === brute.head.getLong(0))
   }
+
+  test("IVF codebook is frozen; native ivf_assign == columnar argmin") {
+    import graft.textops.Ivf
+    assert(Ivf.Centroids.size === Ivf.NumLists)
+    assert(Ivf.Centroids.forall(_.size === Ivf.Dim))
+    assert(Ivf.Centroids.flatten.forall(x => x >= -1.0 && x < 1.0))
+    val emb = Similarity.loadEmb(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .cache()
+    val native = emb.select(col("vec_id"), Ivf.ivfAssign(col("e")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val columnar = emb.select(col("vec_id"), Ivf.assignColumnar(col("e")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(native.sortBy(_._1).toSeq === columnar.sortBy(_._1).toSeq)
+    // every list id in range, assignment covers multiple lists
+    assert(native.forall { case (_, l) => l >= 0 && l < Ivf.NumLists })
+    assert(native.map(_._2).distinct.length > 1)
+    emb.unpersist()
+  }
+
+  test("IVF top-k is a valid ranked subset; probes bound the candidate fraction") {
+    import graft.textops.Ivf
+    val ivf = Ivf.topK(spark, sfDir).collect()
+    assert(ivf.nonEmpty && ivf.length <= Ivf.TopK)
+    val sims = ivf.map(_.getDouble(2)).toSeq
+    assert(sims === sims.sorted.reverse)
+    // brute-force agreement on the TRUE nearest is data-dependent for a
+    // random (untrained) codebook; what IVF guarantees is that every
+    // returned candidate lives in a probed list
+    val probed = Ivf.nearestLists(
+      Similarity.loadEmb(spark, sfDir)
+        .where(col("vec_id") === Ivf.QueryVecId)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray, Ivf.NProbe).toSet
+    val emb = Similarity.loadEmb(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val listOf = emb.select(col("vec_id"), Ivf.ivfAssign(col("e")))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    ivf.foreach(r => assert(probed.contains(listOf(r.getLong(0)))))
+  }
 }
