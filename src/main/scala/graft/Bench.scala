@@ -197,19 +197,29 @@ object Bench {
     // partially evaluated) but hashing the multi-GB output — as the
     // full-width force does — is memory-bandwidth-bound and would cap
     // thread scaling at the DRAM wall instead of measuring the kernel
-    def run(): Unit = {
-      graft.extract.Extractor.extract(cached)
+    def run(df: org.apache.spark.sql.DataFrame): Unit = {
+      graft.extract.Extractor.extract(df)
         .select(sum(size(col("spans")))).collect()
       ()
     }
-    run() // warmup
-    val measured = (1 to 2).map { i =>
+    // JIT warmup on a ~10% sample: thousands of kernel invocations compile
+    // the hot paths without burning a full pass — under a neighbor-steal
+    // storm a full-corpus pass costs minutes (measured 305 s for a
+    // nominal-7 s pass), and the warmup does not need corpus coverage
+    run(cached.sample(withReplacement = false, 0.1, seed = 7))
+    var passes = 0
+    val measured = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    while (passes < 2 && (passes == 0 || measured(0)._1 < 60.0)) {
+      // pass 2 runs only in calm weather (pass 1 under 60 s): best-of needs
+      // a second sample when cheap, but under a steal storm the budget is
+      // better spent letting the OTHER parallelism level finish
+      passes += 1
       Thread.sleep(300) // let async listener events drain
       val cpu0 = cpuNs.get()
-      val wall = time(run())
+      val wall = time(run(cached))
       Thread.sleep(300)
-      System.err.println(f"[bench] child cores=$cores: pass $i ${wall}%.1f s wall")
-      (wall, (cpuNs.get() - cpu0) / 1e9)
+      System.err.println(f"[bench] child cores=$cores: pass $passes ${wall}%.1f s wall")
+      measured += ((wall, (cpuNs.get() - cpu0) / 1e9))
     }
     val (wallSec, cpuSec) = measured.minBy(_._1)
     s.stop()

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.model.Schemas
+import graft.textops.PortableHash
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Streaming exact dedup with keyed state — the continuous-ingest twin of
+  * [[graft.textops.Dedup.exact]]: documents arrive in micro-batches, and a
+  * doc whose content hash was EVER seen (this batch or any earlier one) is
+  * flagged duplicate. State is one boolean per 60-bit content hash, kept
+  * in the streaming state store and recovered from the checkpoint on
+  * restart — so dedup survives process death, exactly like the batch
+  * pipeline's bucket checkpoints survive a crashed run.
+  *
+  * `flatMapGroupsWithState` is the right primitive (not
+  * `dropDuplicates`): the first-seen doc must still be EMITTED (flagged
+  * keeper) and later copies emitted-as-flagged rather than silently
+  * dropped — the shape of a quarantine/lineage-preserving dedup at
+  * training-data scale. Within a batch, ties break by min doc_id
+  * (deterministic, matching the batch operator's window order).
+  *
+  * Scale notes: state is hash-partitioned by content hash across
+  * executors (the same shuffle key as the batch groupBy); each key holds
+  * ONE boolean, so state size is #distinct-docs bits, not text. A
+  * production deployment adds a state TTL (`GroupStateTimeout`) matched
+  * to its retention window; the sandbox test keeps NoTimeout.
+  */
+object StreamingDedup {
+
+  case class DocHash(doc_id: String, content_hash: Long)
+  case class DedupRow(doc_id: String, content_hash: Long, is_duplicate: Boolean)
+
+  /** 60-bit portable hash of the span texts (text-only, separator-joined —
+    * dedup is about content, not offsets/media refs).
+    */
+  def contentHash(spans: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    PortableHash.hexint60(array_join(
+      transform(spans, s => coalesce(s.getField("text"), lit(""))), ""))
+
+  /** Group handler: emits every doc of the group, flagging all but the
+    * first-ever-seen (earlier batch wins; within this batch, min doc_id).
+    */
+  def dedupGroup(key: Long, rows: Iterator[DocHash],
+      state: GroupState[Boolean]): Iterator[DedupRow] = {
+    val seenBefore = state.getOption.getOrElse(false)
+    val batch = rows.toArray.sortBy(_.doc_id)
+    if (!seenBefore && batch.nonEmpty) state.update(true)
+    batch.iterator.zipWithIndex.map { case (d, i) =>
+      DedupRow(d.doc_id, d.content_hash, seenBefore || i > 0)
+    }
+  }
+
+  /** The streaming transform alone (testable on any streaming or batch
+    * relation of span docs).
+    */
+  def dedupStream(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), contentHash(col("spans")).as("content_hash"))
+      .as[DocHash]
+      .groupByKey(_.content_hash)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(dedupGroup)
+      .toDF()
+  }
+
+  /** Start the continuous dedup over a growing parquet directory of span
+    * docs; parquet sink + state checkpoint give exactly-once flags across
+    * restarts.
+    */
+  def start(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, availableNow: Boolean = false): StreamingQuery = {
+    val in = spark.readStream
+      .schema(Schemas.doc)
+      .option("maxFilesPerTrigger", "64")
+      .parquet(inDir)
+    val writer = dedupStream(in).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+}
