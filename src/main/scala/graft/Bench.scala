@@ -136,13 +136,14 @@ object Bench {
     * child failure (the child is destroyed — never left to eat the budget).
     */
   private def tputInChildJvm(cores: Int, scratch: String,
-      timeoutSec: Double): Option[(Double, Double)] = {
+      timeoutSec: Double, passBudgetSec: Double): Option[(Double, Double)] = {
     if (timeoutSec <= 0) return None
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val cp = System.getProperty("java.class.path")
     val cmd = Seq(javaBin) ++ addOpens ++ Seq(
       "-Xmx24g", "-Dspark.ui.enabled=false", "-cp", cp,
-      "graft.Bench", "tput", cores.toString, scratch)
+      "graft.Bench", "tput", cores.toString, scratch,
+      f"$passBudgetSec%.0f")
     // child stderr (Spark logs) inherits ours — buffering it would deadlock
     val p = new ProcessBuilder(cmd: _*)
       .redirectError(ProcessBuilder.Redirect.INHERIT).start()
@@ -180,7 +181,7 @@ object Bench {
     * is the steal-immune scaling evidence (it still honestly degrades
     * under real contention — memory-stall cycles DO count).
     */
-  private def tputMain(cores: Int, scratch: String): Unit = {
+  private def tputMain(cores: Int, scratch: String, passBudgetSec: Double): Unit = {
     val s = session(cores)
     val cpuNs = new java.util.concurrent.atomic.AtomicLong
     s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -207,12 +208,19 @@ object Bench {
     // storm a full-corpus pass costs minutes (measured 305 s for a
     // nominal-7 s pass), and the warmup does not need corpus coverage
     run(cached.sample(withReplacement = false, 0.1, seed = 7))
+    // as many passes as the soft budget allows (cap 8), keeping the MIN:
+    // the host's steal storms are bursty at the ~minutes timescale (passes
+    // in ONE child measured 43 s and 321 s minutes apart), so sampling
+    // repeatedly across the child's window is what catches a calm slot —
+    // the scaling criterion compares peak CAPABILITY per level, and a
+    // storm-depressed sample would understate both levels' capability
+    val childT0 = System.nanoTime()
+    def childElapsed = (System.nanoTime() - childT0) / 1e9
     var passes = 0
+    var lastWall = 0.0
     val measured = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-    while (passes < 2 && (passes == 0 || measured(0)._1 < 60.0)) {
-      // pass 2 runs only in calm weather (pass 1 under 60 s): best-of needs
-      // a second sample when cheap, but under a steal storm the budget is
-      // better spent letting the OTHER parallelism level finish
+    while (passes < 8 &&
+        (passes == 0 || childElapsed + 1.1 * lastWall < passBudgetSec)) {
       passes += 1
       Thread.sleep(300) // let async listener events drain
       val cpu0 = cpuNs.get()
@@ -220,6 +228,7 @@ object Bench {
       Thread.sleep(300)
       System.err.println(f"[bench] child cores=$cores: pass $passes ${wall}%.1f s wall")
       measured += ((wall, (cpuNs.get() - cpu0) / 1e9))
+      lastWall = wall
     }
     val (wallSec, cpuSec) = measured.minBy(_._1)
     s.stop()
@@ -227,8 +236,8 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.length == 3 && args(0) == "tput") {
-      tputMain(args(1).toInt, args(2)); return
+    if (args.length == 4 && args(0) == "tput") {
+      tputMain(args(1).toInt, args(2), args(3).toDouble); return
     }
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -327,11 +336,14 @@ object Bench {
           stop = true
         } else {
           val repT0 = State.elapsed
-          val childCap = remaining - 45
-          tputInChildJvm(coresN, scratch, childCap) match {
+          // soft per-child pass budget: calm children finish in well under
+          // it (8-pass cap); storm children stop sampling in time for the
+          // OTHER level to run. The hard kill-cap stays as backstop.
+          def passBudget = math.min(240.0, (remaining - 90) / 2)
+          tputInChildJvm(coresN, scratch, remaining - 45, passBudget) match {
             case None => stop = true
             case Some(nRun) =>
-              tputInChildJvm(cores4N, scratch, remaining - 45) match {
+              tputInChildJvm(cores4N, scratch, remaining - 45, passBudget) match {
                 case None => stop = true // unpaired N run discarded (fair best-of)
                 case Some(n4Run) =>
                   State.runsN.add(nRun)

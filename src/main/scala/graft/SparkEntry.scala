@@ -64,6 +64,7 @@ object SparkEntry {
     "text_tokens" -> ((s, dir) => graft.textops.TextAnalysis.tokenCounts(s, dir)),
     "text_fingerprint" -> ((s, dir) => graft.textops.TextAnalysis.fingerprint(s, dir)),
     "text_repetition" -> ((s, dir) => graft.textops.TextAnalysis.repetition(s, dir)),
+    "text_gopher" -> ((s, dir) => graft.textops.TextAnalysis.gopherRules(s, dir)),
     // multimodal plumbing (stubbed decode, real schema/batching)
     "media_features" -> ((s, dir) => graft.media.MediaFeatures.features(s, dir)),
     // REAL javax.imageio decode: PNG encode->decode round trip per image
@@ -113,6 +114,7 @@ SELECT doc_id, kind, text, media_ref, "offset" FROM synth ORDER BY doc_id, "offs
     "text_tokens" -> graft.verify.TextOracles.tokenCounts,
     "text_fingerprint" -> graft.verify.TextOracles.fingerprint,
     "text_repetition" -> graft.verify.TextOracles.repetition,
+    "text_gopher" -> graft.verify.TextOracles.gopherRules,
     "media_features" -> graft.verify.TextOracles.mediaFeatures,
     "media_decode" -> graft.verify.TextOracles.mediaDecode,
     "llm_prompt_build" -> graft.verify.TextOracles.promptBuild,

@@ -84,6 +84,51 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Frozen Gopher-rule thresholds for [[gopherRules]] (Rae et al. 2021,
+    * §A.1.1: mean word length in [3,10], symbol-to-word ratio <= 0.1 for
+    * '#'/'...', >= 80% of words contain an alphabetic character, >= 2
+    * stop words).
+    */
+  val MeanWordLenMin = 3.0
+  val MeanWordLenMax = 10.0
+  val SymbolRatioMax = 0.1
+  val AlphaWordFracMin = 0.8
+  val MinStopwords = 2
+
+  /** The classic Gopher quality-rule battery as one shuffle-free
+    * projection (complements [[repetition]]'s duplicate-n-gram rules):
+    * per doc, mean word length, '#'/'...'-to-word symbol ratio, fraction
+    * of words containing a letter, stop-word count, and the composite
+    * keep flag at the frozen thresholds. The keep flag compares the
+    * ROUNDED projections so every engine agrees bit-for-bit.
+    */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = loadDocs(spark, sfDir)
+    val ws = nonEmptyWords(d("text"))
+    val nw = size(ws).cast("double")
+    val chars = aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double")
+    val awl = when(nw === 0, lit(0.0)).otherwise(chars / nw)
+    val nHash = (length(d("text")) - length(replace(d("text"), lit("#"), lit("")))).cast("double")
+    val nEll = (length(d("text")) - length(replace(d("text"), lit("..."), lit("")))).cast("double") / 3.0
+    val symbolRatio = when(nw === 0, lit(0.0)).otherwise(round((nHash + nEll) / nw, 6))
+    val alphaFrac = when(nw === 0, lit(0.0)).otherwise(
+      round(size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / nw, 6))
+    d.select(
+      d("doc_id"),
+      size(ws).as("n_words"),
+      round(awl, 6).as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      alphaFrac.as("alpha_word_frac"),
+      size(filter(ws, w => w.isin(EnStop: _*))).as("n_stop"))
+      .withColumn("keep",
+        col("mean_word_len") >= MeanWordLenMin &&
+          col("mean_word_len") <= MeanWordLenMax &&
+          col("symbol_ratio") <= SymbolRatioMax &&
+          col("alpha_word_frac") >= AlphaWordFracMin &&
+          col("n_stop") >= MinStopwords)
+      .orderBy("doc_id")
+  }
+
   /** Repetition-ratio thresholds for [[repetition]] (simplified Gopher
     * rules — Rae et al. 2021 flag docs whose duplicate-n-gram fractions
     * exceed per-n thresholds; frozen here for the oracle).

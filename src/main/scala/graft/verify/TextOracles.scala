@@ -50,6 +50,33 @@ SELECT doc_id, n_words, len(text) AS n_chars, round(awl, 6) AS avg_word_len,
   round(0.5 * least(1.0, CAST(n_words AS DOUBLE) / 100.0) + 0.3 * sr + 0.2 * least(1.0, awl / 8.0), 6) AS quality
 FROM m ORDER BY doc_id"""
 
+  /** Gopher quality rules (mirrors [[graft.textops.TextAnalysis.gopherRules]]);
+    * the keep flag compares the rounded projections, like the Spark side.
+    */
+  val gopherRules: String = {
+    import graft.textops.TextAnalysis._
+    s"""WITH w AS (
+  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents
+), m AS (
+  SELECT doc_id, len(ws) AS n_words,
+    round(CASE WHEN len(ws) = 0 THEN 0.0
+      ELSE CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) END, 6) AS mean_word_len,
+    CASE WHEN len(ws) = 0 THEN 0.0
+      ELSE round((CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE)
+        + CAST(len(text) - len(replace(text, '...', '')) AS DOUBLE) / 3.0)
+        / CAST(len(ws) AS DOUBLE), 6) END AS symbol_ratio,
+    CASE WHEN len(ws) = 0 THEN 0.0
+      ELSE round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        / CAST(len(ws) AS DOUBLE), 6) END AS alpha_word_frac,
+    len(list_filter(ws, x -> x IN ($enStop))) AS n_stop
+  FROM w)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac, n_stop,
+  (mean_word_len >= $MeanWordLenMin AND mean_word_len <= $MeanWordLenMax
+   AND symbol_ratio <= $SymbolRatioMax AND alpha_word_frac >= $AlphaWordFracMin
+   AND n_stop >= $MinStopwords) AS keep
+FROM m ORDER BY doc_id"""
+  }
+
   val tokenCounts: String =
     s"""SELECT doc_id,
   len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
