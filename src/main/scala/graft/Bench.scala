@@ -86,6 +86,9 @@ object Bench {
     // BOTH levels of a rep completed, so best-of stays a fair interleave
     val runsN = new java.util.concurrent.CopyOnWriteArrayList[(Double, Double)]()
     val runs4N = new java.util.concurrent.CopyOnWriteArrayList[(Double, Double)]()
+    // per-rep lists of every pass's wall seconds (weather transparency)
+    val passSecsN = new java.util.concurrent.CopyOnWriteArrayList[Seq[Double]]()
+    val passSecs4N = new java.util.concurrent.CopyOnWriteArrayList[Seq[Double]]()
 
     def elapsed: Double = (System.nanoTime() - startNanos) / 1e9
 
@@ -112,7 +115,9 @@ object Bench {
           s""""efficiency":${f"$effWall%.3f"},"efficiency_cpu":${f"$effCpu%.3f"},""" +
           s""""cpu_docs_per_sec_n":${f"$cN%.1f"},"cpu_docs_per_sec_4n":${f"$c4N%.1f"},""" +
           s""""wall_runs_n":${arr(rN.map(_._1))},"wall_runs_4n":${arr(r4N.map(_._1))},""" +
-          s""""cpu_runs_n":${arr(rN.map(_._2))},"cpu_runs_4n":${arr(r4N.map(_._2))}}"""
+          s""""cpu_runs_n":${arr(rN.map(_._2))},"cpu_runs_4n":${arr(r4N.map(_._2))},""" +
+          s""""pass_secs_n":${passSecsN.asScala.map(p => p.map(x => f"$x%.1f").mkString("[", ",", "]")).mkString("[", ",", "]")},""" +
+          s""""pass_secs_4n":${passSecs4N.asScala.map(p => p.map(x => f"$x%.1f").mkString("[", ",", "]")).mkString("[", ",", "]")}}"""
       }
       println(
         s"""{"metric":"total_query_sec","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling,"query_rounds":$queryRounds,"budget_sec":${f"$budgetSec%.0f"},"elapsed_sec":${f"$elapsed%.0f"}}""")
@@ -136,7 +141,7 @@ object Bench {
     * child failure (the child is destroyed — never left to eat the budget).
     */
   private def tputInChildJvm(cores: Int, scratch: String,
-      timeoutSec: Double, passBudgetSec: Double): Option[(Double, Double)] = {
+      timeoutSec: Double, passBudgetSec: Double): Option[(Double, Double, Seq[Double])] = {
     if (timeoutSec <= 0) return None
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val cp = System.getProperty("java.class.path")
@@ -164,7 +169,9 @@ object Bench {
     new String(outBuf.toByteArray).linesIterator
       .find(_.startsWith("TPUT ")).map { l =>
         val parts = l.stripPrefix("TPUT ").split(" ")
-        (parts(0).toDouble, parts(1).toDouble)
+        val passes = if (parts.length > 2)
+          parts(2).split(",").toSeq.map(_.toDouble) else Seq.empty[Double]
+        (parts(0).toDouble, parts(1).toDouble, passes)
       }
   }
 
@@ -232,7 +239,10 @@ object Bench {
     }
     val (wallSec, cpuSec) = measured.minBy(_._1)
     s.stop()
-    println(s"TPUT ${nDocs / wallSec} ${nDocs * cores / cpuSec}")
+    // third field: every pass's wall seconds — the artifact then shows the
+    // weather (bursty steal storms read as bimodal pass times)
+    println(s"TPUT ${nDocs / wallSec} ${nDocs * cores / cpuSec} " +
+      measured.map(m => f"${m._1}%.1f").mkString(","))
   }
 
   def main(args: Array[String]): Unit = {
@@ -295,7 +305,10 @@ object Bench {
       .split(",").map(_.trim.toInt)
     State.coresN = coresN
     State.cores4N = cores4N
-    val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // 4 reps by default: the budget logic sheds what doesn't fit, and the
+    // host's steal storms last long enough that 2 weather samples per
+    // level can both land inside one — more, cheaper reps beat fewer
+    val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
 
     if (!skipScaling && remaining > 300) {
       // prep: materialize the replicated span table (not timed). spanMult
@@ -342,15 +355,17 @@ object Bench {
           def passBudget = math.min(240.0, (remaining - 90) / 2)
           tputInChildJvm(coresN, scratch, remaining - 45, passBudget) match {
             case None => stop = true
-            case Some(nRun) =>
+            case Some((nW, nC, nP)) =>
               tputInChildJvm(cores4N, scratch, remaining - 45, passBudget) match {
                 case None => stop = true // unpaired N run discarded (fair best-of)
-                case Some(n4Run) =>
-                  State.runsN.add(nRun)
-                  State.runs4N.add(n4Run)
+                case Some((n4W, n4C, n4P)) =>
+                  State.runsN.add((nW, nC))
+                  State.runs4N.add((n4W, n4C))
+                  State.passSecsN.add(nP)
+                  State.passSecs4N.add(n4P)
                   lastRepSec = State.elapsed - repT0
                   i += 1
-                  System.err.println(f"[bench] rep $i: tN=$nRun t4N=$n4Run (${lastRepSec}%.0f s)")
+                  System.err.println(f"[bench] rep $i: tN=($nW,$nC) t4N=($n4W,$n4C) (${lastRepSec}%.0f s)")
               }
           }
         }
