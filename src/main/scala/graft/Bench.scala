@@ -89,10 +89,15 @@ object Bench {
     // per-rep lists of every pass's wall seconds (weather transparency)
     val passSecsN = new java.util.concurrent.CopyOnWriteArrayList[Seq[Double]]()
     val passSecs4N = new java.util.concurrent.CopyOnWriteArrayList[Seq[Double]]()
+    // the in-flight scaling child, if any — the shutdown hook must kill it,
+    // or a driver-timeout SIGTERM orphans a 24g Spark JVM that keeps
+    // extracting and contaminates whatever runs next
+    @volatile var liveChild: Process = null
 
     def elapsed: Double = (System.nanoTime() - startNanos) / 1e9
 
     def emit(): Unit = if (printed.compareAndSet(false, true)) {
+      Option(liveChild).foreach { p => p.destroyForcibly(); () }
       import scala.jdk.CollectionConverters._
       val results = queryTimes.asScala.toSeq.sortBy(_._1)
       val qs = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
@@ -152,6 +157,7 @@ object Bench {
     // child stderr (Spark logs) inherits ours — buffering it would deadlock
     val p = new ProcessBuilder(cmd: _*)
       .redirectError(ProcessBuilder.Redirect.INHERIT).start()
+    State.liveChild = p
     // drain stdout on a thread so waitFor can time out without pipe deadlock
     val outBuf = new java.io.ByteArrayOutputStream()
     val drainer = new Thread(() => { p.getInputStream.transferTo(outBuf); () })
@@ -159,6 +165,7 @@ object Bench {
     drainer.start()
     val finished = p.waitFor(math.ceil(timeoutSec).toLong,
       java.util.concurrent.TimeUnit.SECONDS)
+    State.liveChild = null
     if (!finished) {
       System.err.println(s"[bench] child JVM (cores=$cores) hit ${timeoutSec.toInt}s timeout — killed")
       p.destroyForcibly()
@@ -277,6 +284,10 @@ object Bench {
     val queryPhaseCap = if (skipScaling) budget - 30 else budget * 0.45
     val s = session(cpus)
     val qs0 = SparkEntry.queries.toSeq.sortBy(_._1)
+    // every query is present in the JSON from the start: -1.0 = never
+    // successfully timed (the long-standing failed-query sentinel), so a
+    // budget-shed tail reads as explicit -1.0 entries, not missing keys
+    qs0.foreach { case (name, _) => State.queryTimes.putIfAbsent(name, -1.0); () }
     var break = false
     for ((name, fn) <- qs0 if !break) { // warmup (uncounted; misses run cold)
       try force(fn(s, sfDir)) catch { case _: Throwable => () }
@@ -285,13 +296,19 @@ object Bench {
     var r = 0
     while (r < qreps && State.elapsed < queryPhaseCap) {
       r += 1
-      for ((name, fn) <- qs0 if State.elapsed < queryPhaseCap) {
-        val sec = try time(force(fn(s, sfDir))) catch { case _: Throwable => -1.0 }
-        System.err.println(s"[bench] round $r $name: $sec")
-        State.queryTimes.merge(name, sec,
-          (a, b) => if (a < 0) b else if (b < 0) a else math.min(a, b))
+      var completedRound = true
+      for ((name, fn) <- qs0) {
+        if (State.elapsed >= queryPhaseCap) completedRound = false
+        else {
+          val sec = try time(force(fn(s, sfDir))) catch { case _: Throwable => -1.0 }
+          System.err.println(s"[bench] round $r $name: $sec")
+          State.queryTimes.merge(name, sec,
+            (a, b) => if (a < 0) b else if (b < 0) a else math.min(a, b))
+        }
       }
-      State.queryRounds = r
+      // query_rounds counts only FULL rounds — a budget-cut round must not
+      // read as a complete sample
+      if (completedRound) State.queryRounds = r
     }
     s.stop()
     System.err.println(f"[bench] query phase done: $r rounds, ${State.elapsed}%.0f s elapsed")

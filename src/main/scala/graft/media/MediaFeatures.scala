@@ -61,24 +61,29 @@ object MediaFeatures {
     */
   def decodeBlob(b: MediaBlob): MediaFeature = {
     if (b.payload == null) return decodeOne(MediaRef(b.doc_id, b.media_ref, b.offset))
+    val dead = MediaFeature(b.doc_id, b.media_ref, b.offset, 0, 0, "unknown",
+      b.payload.length.toLong)
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(b.payload))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext)
-        MediaFeature(b.doc_id, b.media_ref, b.offset, 0, 0, "unknown",
-          b.payload.length.toLong)
+      if (!readers.hasNext) dead
       else {
         val r = readers.next()
+        // a payload can match a reader's SIGNATURE and still have a
+        // corrupt header — getWidth/getHeight throw then, and that too
+        // must dead-letter, not kill the task
         try {
           r.setInput(iis)
           MediaFeature(b.doc_id, b.media_ref, b.offset,
             r.getWidth(0), r.getHeight(0),
             r.getFormatName.toLowerCase(java.util.Locale.ROOT),
             b.payload.length.toLong)
-        } finally r.dispose()
+        } catch { case scala.util.control.NonFatal(_) => dead }
+        finally r.dispose()
       }
-    } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => dead }
+    finally iis.close()
   }
 
   /** Typed decode stage over payload-bearing rows — the shape a real

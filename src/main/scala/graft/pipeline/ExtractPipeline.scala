@@ -349,7 +349,9 @@ object ExtractPipeline {
     * with `keep = true` so operators can compact WITHOUT expiring rows
     * (the reference's hourly beat couples the two, workers.py:385-390;
     * [[cleanupCheckpoints]] is that coupled shape and compacts as a side
-    * effect). Returns rows kept. Same single-writer contract as cleanup.
+    * effect). Returns the CHECKPOINT rows kept (the lineage store is
+    * compacted too, but its count is not part of the return — same
+    * convention as [[cleanupCheckpoints]]). Single-writer, like cleanup.
     */
   def compactCheckpoints(spark: SparkSession, outDir: String): Long = {
     rewriteKeeping(spark, s"$outDir/_lineage", lit(true))

@@ -32,12 +32,14 @@ object StreamingDedup {
   case class DocHash(doc_id: String, content_hash: Long)
   case class DedupRow(doc_id: String, content_hash: Long, is_duplicate: Boolean)
 
-  /** 60-bit portable hash of the span texts (text-only, separator-joined —
-    * dedup is about content, not offsets/media refs).
+  /** 60-bit portable hash of the span texts (text-only, joined on an explicit
+    * \\u0001 separator so differing span splits of the same concatenation
+    * — ["ab","c"] vs ["a","bc"] — do NOT collide; dedup is about content,
+    * not offsets/media refs).
     */
   def contentHash(spans: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     PortableHash.hexint60(array_join(
-      transform(spans, s => coalesce(s.getField("text"), lit(""))), ""))
+      transform(spans, s => coalesce(s.getField("text"), lit(""))), "\u0001"))
 
   /** Group handler: emits every doc of the group, flagging all but the
     * first-ever-seen (earlier batch wins; within this batch, min doc_id).

@@ -31,6 +31,12 @@ class MediaFeaturesSpec extends AnyFunSuite with SparkSpec {
     val junk = Array.tabulate[Byte](64)(i => (i * 7).toByte)
     val f = MediaFeatures.decodeBlob(MediaBlob("d", "m://x", 0, junk))
     assert((f.width, f.height, f.format, f.byte_size) === ((0, 0, "unknown", 64L)))
+    // valid PNG signature, corrupt header: the reader CLAIMS the payload
+    // (signature match) then throws from the header parse — must
+    // dead-letter too, not kill the task
+    val truncated = encode("png", 17, 9).take(12)
+    val t = MediaFeatures.decodeBlob(MediaBlob("d", "m://y", 0, truncated))
+    assert((t.width, t.height, t.format, t.byte_size) === ((0, 0, "unknown", 12L)))
   }
 
   test("null payload falls back to the deterministic stub") {
