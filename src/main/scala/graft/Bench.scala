@@ -102,6 +102,10 @@ object Bench {
       val results = queryTimes.asScala.toSeq.sortBy(_._1)
       val qs = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
         .mkString("{", ",", "}")
+      // "value" sums only the timed queries — queries_timed/queries_total
+      // make a budget-shed partial self-describing (a 5-of-35 total must
+      // not read as a 7x speedup against a full-suite artifact)
+      val timed = results.count(_._2 >= 0)
       val total = results.map(_._2).filter(_ >= 0).sum
       def arr(xs: Seq[Double]) = xs.map(x => f"$x%.1f").mkString("[", ",", "]")
       val rN = runsN.asScala.toSeq
@@ -125,7 +129,7 @@ object Bench {
           s""""pass_secs_4n":${passSecs4N.asScala.map(p => p.map(x => f"$x%.1f").mkString("[", ",", "]")).mkString("[", ",", "]")}}"""
       }
       println(
-        s"""{"metric":"total_query_sec","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling,"query_rounds":$queryRounds,"budget_sec":${f"$budgetSec%.0f"},"elapsed_sec":${f"$elapsed%.0f"}}""")
+        s"""{"metric":"total_query_sec","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"queries_timed":$timed,"queries_total":${results.size},"sf":"$sfDir","scaling":$scaling,"query_rounds":$queryRounds,"budget_sec":${f"$budgetSec%.0f"},"elapsed_sec":${f"$elapsed%.0f"}}""")
       System.out.flush()
     }
   }
@@ -173,13 +177,16 @@ object Bench {
       return None
     }
     drainer.join(2000)
-    new String(outBuf.toByteArray).linesIterator
+    val parsed = new String(outBuf.toByteArray).linesIterator
       .find(_.startsWith("TPUT ")).map { l =>
         val parts = l.stripPrefix("TPUT ").split(" ")
         val passes = if (parts.length > 2)
           parts(2).split(",").toSeq.map(_.toDouble) else Seq.empty[Double]
         (parts(0).toDouble, parts(1).toDouble, passes)
       }
+    if (parsed.isEmpty) // OOM / Spark init failure — say so, don't just shrink the rep count
+      System.err.println(s"[bench] child JVM (cores=$cores) exited rc=${p.exitValue()} with no TPUT line — scaling phase ends")
+    parsed
   }
 
   /** Child-JVM entry: measure extraction docs/sec at one parallelism.

@@ -63,27 +63,30 @@ object MediaFeatures {
     if (b.payload == null) return decodeOne(MediaRef(b.doc_id, b.media_ref, b.offset))
     val dead = MediaFeature(b.doc_id, b.media_ref, b.offset, 0, 0, "unknown",
       b.payload.length.toLong)
-    val iis = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(b.payload))
+    // EVERYTHING imageio sits inside the catch: createImageInputStream
+    // itself can throw (its default disk cache needs a writable tmpdir)
+    // or return null (no SPI), and a reader that CLAIMS the payload by
+    // signature can still throw parsing a corrupt header — every one of
+    // those must dead-letter, never kill the task
+    var iis: javax.imageio.stream.ImageInputStream = null
     try {
+      iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b.payload))
+      if (iis == null) return dead
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) dead
       else {
         val r = readers.next()
-        // a payload can match a reader's SIGNATURE and still have a
-        // corrupt header — getWidth/getHeight throw then, and that too
-        // must dead-letter, not kill the task
         try {
           r.setInput(iis)
           MediaFeature(b.doc_id, b.media_ref, b.offset,
             r.getWidth(0), r.getHeight(0),
             r.getFormatName.toLowerCase(java.util.Locale.ROOT),
             b.payload.length.toLong)
-        } catch { case scala.util.control.NonFatal(_) => dead }
-        finally r.dispose()
+        } finally r.dispose()
       }
     } catch { case scala.util.control.NonFatal(_) => dead }
-    finally iis.close()
+    finally if (iis != null) iis.close()
   }
 
   /** Typed decode stage over payload-bearing rows — the shape a real

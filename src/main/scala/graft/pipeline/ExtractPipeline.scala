@@ -67,8 +67,23 @@ object ExtractPipeline {
 
   private val Stage = "extract"
 
-  def bucketCol(numBuckets: Int) =
-    pmod(xxhash64(col("doc_id")), lit(numBuckets.toLong)).cast("int")
+  /** THE bucket function of the storage layout — every consumer (the
+    * write path, resume, and the serving layer's driver-side pruning)
+    * derives from this one definition, so the layout can never drift
+    * from its readers.
+    */
+  def bucketColOf(id: org.apache.spark.sql.Column, numBuckets: Int) =
+    pmod(xxhash64(id), lit(numBuckets.toLong)).cast("int")
+
+  def bucketCol(numBuckets: Int) = bucketColOf(col("doc_id"), numBuckets)
+
+  /** Bucket of one LITERAL doc id, evaluated through the same expression
+    * as [[bucketCol]] (a 1-row local plan — no scan, no shuffle): used by
+    * the serving layer to turn a point lookup into a partition-pruning
+    * predicate.
+    */
+  def bucketOfId(spark: SparkSession, docId: String, numBuckets: Int): Int =
+    spark.range(1).select(bucketColOf(lit(docId), numBuckets)).head().getInt(0)
 
   /** Buckets already checkpointed 'done' for this stage (any run). A
     * bucket checkpointed 'empty' (claimed, no data in that run's input) is

@@ -58,19 +58,14 @@ object Queries {
         s => s.getField("text")), "\n").as("extracted_text"))
   }
 
-  /** Bucket of a doc id under [[graft.pipeline.ExtractPipeline]]'s layout
-    * (`pmod(xxhash64(doc_id), numBuckets)`), computed DRIVER-side so a
-    * point lookup carries a literal partition predicate — the scan prunes
-    * to one bucket directory before listing a single file.
+  /** Bucket of a doc id under the pipeline's layout, computed through the
+    * SAME expression as the write path ([[graft.pipeline.ExtractPipeline
+    * .bucketColOf]] — one definition, zero drift risk) so a point lookup
+    * carries a literal partition predicate: the scan prunes to one bucket
+    * directory before listing a single file.
     */
-  def bucketOf(docId: String, numBuckets: Int): Int = {
-    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    val h = XxHash64(Seq(Literal(
-      org.apache.spark.unsafe.types.UTF8String.fromString(docId),
-      org.apache.spark.sql.types.StringType)), 42L)
-      .eval(null).asInstanceOf[Long]
-    (((h % numBuckets) + numBuckets) % numBuckets).toInt
-  }
+  def bucketOf(spark: SparkSession, docId: String, numBuckets: Int): Int =
+    graft.pipeline.ExtractPipeline.bucketOfId(spark, docId, numBuckets)
 
   /** Q1 over the STORED table: queue scan + sort reading the pipeline's
     * `data/` output instead of re-extracting — the serving path of a
@@ -92,7 +87,7 @@ object Queries {
   def lookupFrom(spark: SparkSession, outDir: String, docId: String,
       numBuckets: Int): DataFrame = {
     val out = spark.read.parquet(s"$outDir/data")
-      .where(col("bucket") === bucketOf(docId, numBuckets) &&
+      .where(col("bucket") === bucketOf(spark, docId, numBuckets) &&
         col("doc_id") === docId)
     out.select(
       col("doc_id"),

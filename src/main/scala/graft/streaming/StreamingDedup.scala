@@ -18,8 +18,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `dropDuplicates`): the first-seen doc must still be EMITTED (flagged
   * keeper) and later copies emitted-as-flagged rather than silently
   * dropped — the shape of a quarantine/lineage-preserving dedup at
-  * training-data scale. Within a batch, ties break by min doc_id
-  * (deterministic, matching the batch operator's window order).
+  * training-data scale.
+  *
+  * Keeper semantics are STREAMING semantics: first-ARRIVAL wins. Across
+  * micro-batches (including >maxFilesPerTrigger file sets inside one
+  * run) the earlier batch's doc is the keeper whatever its doc_id — a
+  * stream cannot reorder the past. Within one micro-batch, ties break
+  * by min doc_id, which is the batch operator's window order; a corpus
+  * that fits one trigger therefore reproduces
+  * [[graft.textops.Dedup.exact]]'s flags exactly (what
+  * StreamingDedupSpec pins).
   *
   * Scale notes: state is hash-partitioned by content hash across
   * executors (the same shuffle key as the batch groupBy); each key holds

@@ -36,30 +36,11 @@ object Dedup {
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
-  /** Session-scoped memo for the persisted shingle/signature/scored-pair
-    * tables (same rationale and shape as [[Similarity]]'s memo: at
-    * deployment these are materialized index tables built once; without
-    * the memo every invocation — e.g. the bench's repeated rounds —
-    * persists a fresh never-reused copy that lives until session stop).
-    * Replaced entries are unpersisted; invalidated when the owning
-    * session stops.
+  /** Persisted shingle/signature/scored-pair tables go through the
+    * shared [[SessionMemo]] (rationale there).
     */
-  private val memo = scala.collection.mutable.HashMap.empty[String, DataFrame]
-
   private def memoized(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    memo.synchronized {
-      memo.get(key) match {
-        case Some(df) if (df.sparkSession eq spark) &&
-            !spark.sparkContext.isStopped => df
-        case stale =>
-          stale.foreach { o =>
-            try o.unpersist() catch { case _: Exception => () } // context may be gone
-          }
-          val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          memo.put(key, df)
-          df
-      }
-    }
+    SessionMemo(spark, key)(build)
 
   /** Exact dedup: rank within identical-content groups; rank>1 = duplicate.
     * One hash-partitioned window over the content hash — the canonical
@@ -149,7 +130,10 @@ object Dedup {
         .withColumn("lb",
           (length(conv(size(col("sh")).cast("string"), 10, 2)) - 1).cast("int"))
     }
-    val scored = withJaccard(spark, s"$sfDir#ngram-scored-$threshold", {
+    // keyed by the DERIVED span, not the raw threshold: thresholds with
+    // the same span (e.g. 0.4 and 0.45) produce byte-identical scored
+    // tables and share one cache entry
+    val scored = withJaccard(spark, s"$sfDir#ngram-scored-span$span", {
       val keyed = base.select(col("doc_id"), col("block"),
         explode(array((0 to span).map(i => col("lb") + i): _*)).as("lb"))
       val a = keyed.select(col("doc_id").as("id_a"), col("block"), col("lb"))

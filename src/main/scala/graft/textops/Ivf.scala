@@ -96,8 +96,7 @@ object Ivf {
   def ivfAssign(e: Column): Column =
     ColumnShim.column(IvfAssignExpr(ColumnShim.expression(e)))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def dot(a: Column, b: Column): Column = Similarity.dot(a, b)
 
   /** The `sim_topk_ivf` driver query: build the inverted-list assignment,
     * probe the query's [[NProbe]] nearest lists, exact-cosine rank the

@@ -87,9 +87,10 @@ object Similarity {
   private def dbl(c: Column): Column = c.cast("array<double>")
 
   /** Left-fold dot product — matches DuckDB's
-    * `list_sum(list_transform(range(n), i -> a[i+1]*b[i+1]))`.
+    * `list_sum(list_transform(range(n), i -> a[i+1]*b[i+1]))`. Shared
+    * with [[Ivf]] (one definition, one fold order).
     */
-  private def dot(a: Column, b: Column): Column =
+  private[textops] def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** B-bit sign signature of `emb` for LSH table `t` over the plane pool —
@@ -135,33 +136,11 @@ object Similarity {
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", sqrt(dot(col("e"), col("e"))))
 
-  /** Session-scoped memo for the persisted vector/signature tables: at
-    * deployment these are MATERIALIZED index tables built once, and
-    * re-persisting a fresh copy per invocation (e.g. the bench's repeated
-    * rounds) accumulates dead cache entries until the context GC reaps
-    * them. Assumes the parquet at `sfDir` is immutable for the session
-    * (true here: the testdata is read-only; a production index is rebuilt
-    * by an explicit job, not by silently re-reading mutated files).
-    * Replaced entries are unpersisted; invalidated when the owning session
-    * stops.
+  /** Persisted vector/signature tables go through the shared
+    * [[SessionMemo]] (rationale there).
     */
-  private val memo =
-    scala.collection.mutable.HashMap.empty[String, DataFrame]
-
   private def memoized(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    memo.synchronized {
-      memo.get(key) match {
-        case Some(df) if (df.sparkSession eq spark) &&
-            !spark.sparkContext.isStopped => df
-        case stale =>
-          stale.foreach { o =>
-            try o.unpersist() catch { case _: Exception => () } // context may be gone
-          }
-          val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          memo.put(key, df)
-          df
-      }
-    }
+    SessionMemo(spark, key)(build)
 
   /** Corpus plus planted near-duplicates (deterministic augmentation —
     * see object scaladoc). Column `e` is double-cast.

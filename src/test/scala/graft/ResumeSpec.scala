@@ -187,7 +187,7 @@ class ResumeSpec extends AnyFunSuite with SparkSpec {
     val someId = spark.read.parquet(s"$out/data")
       .select("doc_id", "bucket").limit(1).collect()(0)
     val docId = someId.getString(0)
-    assert(Queries.bucketOf(docId, B) === someId.getInt(1))
+    assert(Queries.bucketOf(spark, docId, B) === someId.getInt(1))
 
     val lk = Queries.lookupFrom(spark, out, docId, B)
     val rows = lk.collect()
