@@ -65,6 +65,9 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => graft.textops.TextAnalysis.fingerprint(s, dir)),
     "text_repetition" -> ((s, dir) => graft.textops.TextAnalysis.repetition(s, dir)),
     "text_gopher" -> ((s, dir) => graft.textops.TextAnalysis.gopherRules(s, dir)),
+    // corpus construction: deterministic training-mix sampling + packing
+    "corpus_sample" -> ((s, dir) => graft.textops.Corpus.sampleStratified(s, dir)),
+    "corpus_pack" -> ((s, dir) => graft.textops.Corpus.packSequences(s, dir)),
     // multimodal plumbing (stubbed decode, real schema/batching)
     "media_features" -> ((s, dir) => graft.media.MediaFeatures.features(s, dir)),
     // REAL javax.imageio decode: PNG encode->decode round trip per image
@@ -115,6 +118,8 @@ SELECT doc_id, kind, text, media_ref, "offset" FROM synth ORDER BY doc_id, "offs
     "text_fingerprint" -> graft.verify.TextOracles.fingerprint,
     "text_repetition" -> graft.verify.TextOracles.repetition,
     "text_gopher" -> graft.verify.TextOracles.gopherRules,
+    "corpus_sample" -> graft.verify.TextOracles.sampleStratified,
+    "corpus_pack" -> graft.verify.TextOracles.packSequences,
     "media_features" -> graft.verify.TextOracles.mediaFeatures,
     "media_decode" -> graft.verify.TextOracles.mediaDecode,
     "llm_prompt_build" -> graft.verify.TextOracles.promptBuild,

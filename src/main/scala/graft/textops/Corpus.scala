@@ -1,0 +1,70 @@
+package graft.textops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators for training-data pipelines: the steps
+  * AFTER filtering/dedup that turn a cleaned document table into a
+  * training mix — deterministic stratified sampling (mix weights per
+  * language/source) and sequence packing (the standard pretraining
+  * concat-and-chunk into fixed token windows).
+  */
+object Corpus {
+
+  /** Per-mille keep thresholds per language for [[sampleStratified]]
+    * (integer thresholds so every engine compares exactly): en 50%,
+    * pt 20%, everything else 10% — a typical down-weighting mix.
+    */
+  val SampleThresholds: Seq[(String, Int)] = Seq("en" -> 500, "pt" -> 200)
+  val SampleDefaultThreshold = 100
+
+  /** Deterministic stratified sampling: keep a doc iff
+    * `h32("sample-" || doc_id) % 1000 < threshold(lang)`. Hash-based, so
+    * the sample is REPRODUCIBLE (a rerun keeps exactly the same docs —
+    * at 100 TB an RNG sample is unrepeatable and undebuggable),
+    * shuffle-free, and stable under resume/retry. Changing mix weights
+    * touches only the threshold map.
+    */
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val threshold = SampleThresholds
+      .foldRight(lit(SampleDefaultThreshold)) { case ((l, t), acc) =>
+        when(col("lang") === l, lit(t)).otherwise(acc)
+      }
+    d.select(d("doc_id"), d("lang"),
+      pmod(PortableHash.hexint32(concat(lit("sample-"), d("doc_id").cast("string"))),
+        lit(1000L)).as("h"))
+      .withColumn("threshold", threshold)
+      .where(col("h") < col("threshold"))
+      .select("doc_id", "lang", "h")
+      .orderBy("doc_id")
+  }
+
+  /** Tokens per training window for [[packSequences]]. */
+  val PackCapacity = 512
+
+  /** Sequence packing, concat-and-chunk style: documents concatenate in
+    * doc_id order into one token stream that is chunked into
+    * [[PackCapacity]]-token windows; each doc reports the window its
+    * first token lands in and its offset inside it (docs longer than a
+    * window simply span windows — exactly how pretraining packs).
+    *
+    * The global running sum here is a deliberate single-ordering plan for
+    * oracle verifiability at test scale; at deployment packing runs PER
+    * SHARD (`Window.partitionBy(shard).orderBy(doc_id)`) — embarrassingly
+    * parallel, no global exchange — because training shards are
+    * independent streams anyway.
+    */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val toks = size(filter(split(d("text"), " "), w => w =!= "")).cast("long")
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    d.select(d("doc_id"), toks.as("n_tokens"))
+      .withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        expr(s"start_tok DIV $PackCapacity").as("bin_id"),
+        pmod(col("start_tok"), lit(PackCapacity.toLong)).as("offset_in_bin"))
+      .orderBy("doc_id")
+  }
+}

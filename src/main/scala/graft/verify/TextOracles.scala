@@ -77,6 +77,37 @@ SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac, n_stop,
 FROM m ORDER BY doc_id"""
   }
 
+  /** Stratified sample (mirrors [[graft.textops.Corpus.sampleStratified]]). */
+  val sampleStratified: String = {
+    import graft.textops.Corpus
+    val cases = Corpus.SampleThresholds
+      .map { case (l, t) => s"WHEN lang = '$l' THEN $t" }.mkString(" ")
+    s"""WITH h AS (
+  SELECT doc_id, lang,
+    ${h32("'sample-' || CAST(doc_id AS VARCHAR)")} % 1000 AS h,
+    CASE $cases ELSE ${Corpus.SampleDefaultThreshold} END AS threshold
+  FROM documents)
+SELECT doc_id, lang, h FROM h WHERE h < threshold ORDER BY doc_id"""
+  }
+
+  /** Concat-and-chunk packing (mirrors [[graft.textops.Corpus.packSequences]]). */
+  val packSequences: String = {
+    import graft.textops.Corpus
+    s"""WITH t AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+  FROM t)
+SELECT doc_id, n_tokens, start_tok,
+  start_tok // ${Corpus.PackCapacity} AS bin_id,
+  start_tok % ${Corpus.PackCapacity} AS offset_in_bin
+FROM c ORDER BY doc_id"""
+  }
+
   val tokenCounts: String =
     s"""SELECT doc_id,
   len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
