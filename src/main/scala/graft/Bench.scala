@@ -152,6 +152,9 @@ object Bench {
   private def tputInChildJvm(cores: Int, scratch: String,
       timeoutSec: Double, passBudgetSec: Double): Option[(Double, Double, Seq[Double])] = {
     if (timeoutSec <= 0) return None
+    // once the shutdown hook has emitted, the process is dying — launching
+    // (or keeping) a child past that point orphans a 24g Spark JVM
+    if (State.printed.get()) return None
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val cp = System.getProperty("java.class.path")
     val cmd = Seq(javaBin) ++ addOpens ++ Seq(
@@ -162,6 +165,9 @@ object Bench {
     val p = new ProcessBuilder(cmd: _*)
       .redirectError(ProcessBuilder.Redirect.INHERIT).start()
     State.liveChild = p
+    // close the start()-vs-hook race: if the hook fired in between, it
+    // missed this child — kill it ourselves
+    if (State.printed.get()) { p.destroyForcibly(); State.liveChild = null; return None }
     // drain stdout on a thread so waitFor can time out without pipe deadlock
     val outBuf = new java.io.ByteArrayOutputStream()
     val drainer = new Thread(() => { p.getInputStream.transferTo(outBuf); () })
@@ -260,6 +266,9 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the f interpolator is locale-sensitive: a comma-decimal default
+    // locale would corrupt both the TPUT wire line and the JSON itself
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     if (args.length == 4 && args(0) == "tput") {
       tputMain(args(1).toInt, args(2), args(3).toDouble); return
     }

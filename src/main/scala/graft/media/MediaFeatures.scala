@@ -86,7 +86,11 @@ object MediaFeatures {
         } finally r.dispose()
       }
     } catch { case scala.util.control.NonFatal(_) => dead }
-    finally if (iis != null) iis.close()
+    finally if (iis != null) {
+      // close() of a file-cache-backed stream can itself throw (cache
+      // file deletion) — swallowing it keeps the dead-letter contract
+      try iis.close() catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** Typed decode stage over payload-bearing rows — the shape a real

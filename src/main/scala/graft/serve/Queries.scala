@@ -34,29 +34,39 @@ object Queries {
     * range-partitioned sort on the serving table, pruned by any pushed
     * predicate.
     */
-  def queue(spark: SparkSession, sfDir: String): DataFrame =
-    docStatus(spark, sfDir)
-      .withColumn("status",
-        when(col("n_errors") > 0, lit("ERROR")).otherwise(lit("COMPLETED")))
+  /** Derived status + deterministic order — shared by the inline and
+    * stored-table queue scans.
+    */
+  private def withQueueStatus(rows: DataFrame): DataFrame =
+    rows.withColumn("status",
+      when(col("n_errors") > 0, lit("ERROR")).otherwise(lit("COMPLETED")))
       .orderBy(col("doc_id"))
 
-  /** Q2 — point lookup (reference main.py:397-496): status-dependent
-    * projection for one document. The filter pushes down to the bucket
-    * partition + row group.
+  def queue(spark: SparkSession, sfDir: String): DataFrame =
+    withQueueStatus(docStatus(spark, sfDir))
+
+  /** The point-lookup projection — shared by the inline and stored-table
+    * lookups so the oracle-pinned output can never drift between them.
+    * Carries the COMPLETED-but-empty consistency rule (reference
+    * main.py:433-447).
     */
-  def lookup(spark: SparkSession, sfDir: String, docId: String): DataFrame = {
-    val out = Extractor.extract(SpanSynth.docsInput(spark, sfDir))
-      .where(col("doc_id") === docId)
+  private def lookupProjection(out: DataFrame): DataFrame =
     out.select(
       col("doc_id"),
       size(col("spans")).as("n_spans"),
-      // COMPLETED-but-empty consistency rule (reference main.py:433-447)
       when(size(filter(col("spans"), s => s.getField("kind") === "error")) > 0,
         lit("ERROR")).otherwise(lit("COMPLETED")).as("status"),
       array_join(transform(
         filter(col("spans"), s => s.getField("kind") === "text"),
         s => s.getField("text")), "\n").as("extracted_text"))
-  }
+
+  /** Q2 — point lookup (reference main.py:397-496): status-dependent
+    * projection for one document. The filter pushes down to the bucket
+    * partition + row group.
+    */
+  def lookup(spark: SparkSession, sfDir: String, docId: String): DataFrame =
+    lookupProjection(Extractor.extract(SpanSynth.docsInput(spark, sfDir))
+      .where(col("doc_id") === docId))
 
   /** Bucket of a doc id under the pipeline's layout, computed through the
     * SAME expression as the write path ([[graft.pipeline.ExtractPipeline
@@ -73,30 +83,50 @@ object Queries {
     * bucketed parquet layout.
     */
   def queueFrom(spark: SparkSession, outDir: String): DataFrame =
-    statusProjection(spark.read.parquet(s"$outDir/data"))
-      .withColumn("status",
-        when(col("n_errors") > 0, lit("ERROR")).otherwise(lit("COMPLETED")))
-      .orderBy(col("doc_id"))
+    withQueueStatus(statusProjection(spark.read.parquet(s"$outDir/data")))
+
+  /** The store's bucket count, read from the pipeline's own `_lineage`
+    * record (latest run's params_json). The serving layer derives the
+    * layout from the store instead of trusting a caller — a wrong bucket
+    * count would make every lookup silently return zero rows.
+    */
+  def storedNumBuckets(spark: SparkSession, outDir: String): Option[Int] = {
+    val path = s"$outDir/_lineage"
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      return None
+    spark.read.parquet(path).orderBy(desc("run_ts"))
+      .select("params_json").limit(1).collect().headOption
+      .flatMap(r => """"numBuckets":(\d+)""".r
+        .findFirstMatchIn(r.getString(0)).map(_.group(1).toInt))
+  }
 
   /** Q2 over the STORED table: point lookup with an explicit bucket
     * predicate, so partition pruning reduces the scan to ONE bucket
     * directory (then row-group pruning on the pushed doc_id filter) —
     * at 100 TB the difference between listing every file and touching
-    * one partition.
+    * one partition. The bucket count comes from the store's lineage
+    * record; passing one explicitly is validated against it (a mismatch
+    * would prune to the WRONG partition and return empty, a wrong
+    * answer — so it fails loudly instead).
     */
   def lookupFrom(spark: SparkSession, outDir: String, docId: String,
-      numBuckets: Int): DataFrame = {
-    val out = spark.read.parquet(s"$outDir/data")
-      .where(col("bucket") === bucketOf(spark, docId, numBuckets) &&
-        col("doc_id") === docId)
-    out.select(
-      col("doc_id"),
-      size(col("spans")).as("n_spans"),
-      when(size(filter(col("spans"), s => s.getField("kind") === "error")) > 0,
-        lit("ERROR")).otherwise(lit("COMPLETED")).as("status"),
-      array_join(transform(
-        filter(col("spans"), s => s.getField("kind") === "text"),
-        s => s.getField("text")), "\n").as("extracted_text"))
+      numBuckets: Int = -1): DataFrame = {
+    val stored = storedNumBuckets(spark, outDir)
+    val n = (stored, numBuckets) match {
+      case (Some(s), -1) => s
+      case (Some(s), c) =>
+        require(c == s, s"lookupFrom: caller numBuckets=$c but the store " +
+          s"was written with numBuckets=$s (from _lineage)")
+        s
+      case (None, c) =>
+        require(c > 0, s"lookupFrom: no _lineage record under $outDir and " +
+          "no explicit numBuckets given")
+        c
+    }
+    lookupProjection(spark.read.parquet(s"$outDir/data")
+      .where(col("bucket") === bucketOf(spark, docId, n) &&
+        col("doc_id") === docId))
   }
 
   /** Per-class aggregate metrics over the extracted output — the VERBOSE

@@ -103,10 +103,15 @@ object Ivf {
     * survivors. Candidate fraction ~NProbe/NumLists of the corpus.
     */
   def topK(spark: SparkSession, sfDir: String): DataFrame = {
-    val vecs = Similarity.loadEmb(spark, sfDir)
-      .select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("e"))
-      .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    // memoized like the sibling ANN queries: the normalized vector table
+    // is a built-once index, and both the driver-side query-row head()
+    // and the main scan read the persisted copy
+    val vecs = SessionMemo(spark, s"$sfDir#ivf-vecs") {
+      Similarity.loadEmb(spark, sfDir)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("e"))
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+    }
     // the ONE query vector, collected driver-side (bounded): probe-list
     // selection happens against the in-driver codebook, turning the probe
     // into a literal pushable predicate instead of a join

@@ -189,6 +189,15 @@ class ResumeSpec extends AnyFunSuite with SparkSpec {
     val docId = someId.getString(0)
     assert(Queries.bucketOf(spark, docId, B) === someId.getInt(1))
 
+    // bucket count derives from the store's _lineage record; an explicit
+    // mismatching count fails loudly instead of pruning to the wrong
+    // partition and returning empty
+    assert(Queries.storedNumBuckets(spark, out) === Some(B))
+    assert(Queries.lookupFrom(spark, out, docId).count() === 1)
+    intercept[IllegalArgumentException] {
+      Queries.lookupFrom(spark, out, docId, B + 1)
+    }
+
     val lk = Queries.lookupFrom(spark, out, docId, B)
     val rows = lk.collect()
     assert(rows.length === 1)
