@@ -79,7 +79,10 @@ object SparkEntry {
     "llm_format_response" -> ((s, dir) => graft.textops.LlmFormat.formatResponseQuery(s, dir)),
     // P2/L2/L3 plumbing with the deterministic echo transport (stubbed
     // network call; mapPartitions pooling shape is real)
-    "llm_stage" -> ((s, dir) => graft.llm.LlmStage.stageQuery(s, dir))
+    "llm_stage" -> ((s, dir) => graft.llm.LlmStage.stageQuery(s, dir)),
+    // the full P1->P2->P3 chain over EXTRACTED text (the dataflow of
+    // ExtractPipeline.runLlmStage, oracle-verified end to end)
+    "llm_pipeline" -> ((s, dir) => graft.llm.LlmStage.pipelineQuery(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -125,6 +128,7 @@ SELECT doc_id, kind, text, media_ref, "offset" FROM synth ORDER BY doc_id, "offs
     "llm_prompt_build" -> graft.verify.TextOracles.promptBuild,
     "llm_extract_values" -> graft.verify.TextOracles.extractValues,
     "llm_format_response" -> graft.verify.TextOracles.formatResponse,
-    "llm_stage" -> graft.verify.TextOracles.llmStage
+    "llm_stage" -> graft.verify.TextOracles.llmStage,
+    "llm_pipeline" -> graft.verify.TextOracles.llmPipeline
   )
 }

@@ -100,10 +100,13 @@ object LlmStage {
     import spark.implicits._
     // doc_id is the primary key (reference models.py:18, NOT NULL); a
     // null-id row has no home in any table and would kill the typed
-    // encoder below, so it is dropped rather than failing the job
+    // encoder below, so it is dropped rather than failing the job.
+    // Ids ride through as strings so the stage serves both the long-keyed
+    // documents table and the pipeline's string-keyed span docs; callers
+    // needing the original type cast the output back.
     df.where(col("doc_id").isNotNull)
-      .select(col("doc_id").cast("long"), col("full_prompt"))
-      .as[(Long, String)]
+      .select(col("doc_id").cast("string"), col("full_prompt"))
+      .as[(String, String)]
       .mapPartitions { rows =>
         val t = transport // one instance per partition (pooled-client shape)
         rows.map { case (id, prompt) =>
@@ -154,7 +157,7 @@ object LlmStage {
       LlmFormat.promptBuild(d("text"), lit(LlmFormat.Question),
         lit(null).cast("string"), lit(null).cast("string")).as("full_prompt"))
     generate(prompts, DefaultModel, transport)
-      .select(col("doc_id"), col("llm_response"),
+      .select(col("doc_id").cast("long").as("doc_id"), col("llm_response"),
         LlmFormat.format_best_effort(col("llm_response"), lit(Template),
           lit(null).cast("string")).as("formatted_response"))
       .orderBy("doc_id")
@@ -164,4 +167,29 @@ object LlmStage {
     * format stage does real work: `name: {w1}, ref: {h32(prompt)}`.
     */
   val Template = """{"name": "", "ref": ""}"""
+
+  /** The FULL reference chain (workers.py:39-345) as one inline query:
+    * extraction (P1) → prompt build over the EXTRACTED text (L1) →
+    * generate (P2, echo transport) → format (P3/L4) — the dataflow of
+    * [[graft.pipeline.ExtractPipeline.runLlmStage]] minus the storage,
+    * so the DuckDB oracle verifies the chained semantics end to end.
+    */
+  def pipelineQuery(spark: SparkSession, sfDir: String,
+      transport: LlmTransport = EchoTransport()): DataFrame = {
+    val extracted = graft.extract.Extractor.extract(
+      graft.synth.SpanSynth.docsInput(spark, sfDir))
+    val prompts = extracted.select(
+      col("doc_id"),
+      LlmFormat.promptBuild(
+        array_join(transform(
+          filter(col("spans"), s => s.getField("kind") === "text"),
+          s => s.getField("text")), "\n"),
+        lit(LlmFormat.Question),
+        lit(null).cast("string"), lit(null).cast("string")).as("full_prompt"))
+    generate(prompts, DefaultModel, transport)
+      .select(col("doc_id"), col("llm_response"),
+        LlmFormat.format_best_effort(col("llm_response"), lit(Template),
+          lit(null).cast("string")).as("formatted_response"))
+      .orderBy("doc_id")
+  }
 }

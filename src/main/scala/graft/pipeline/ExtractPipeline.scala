@@ -129,12 +129,12 @@ object ExtractPipeline {
     * input scan). The stuck scan keys off these.
     */
   private def writeRunningRows(spark: SparkSession, cfg: Config,
-      buckets: Seq[Int], startedTs: String): Unit = {
+      buckets: Seq[Int], startedTs: String, stage: String = Stage): Unit = {
     import spark.implicits._
     if (buckets.isEmpty) return
     val rows = buckets.toDF("bucket").select(
       lit(cfg.runId).as("run_id"),
-      lit(Stage).as("stage"),
+      lit(stage).as("stage"),
       col("bucket"),
       lit("running").as("status"),
       lit(null).cast("long").as("n_docs"),
@@ -266,6 +266,88 @@ object ExtractPipeline {
       count(lit(1)).as("buckets")).collect()(0)
     perBucket.unpersist()
     RunReport(cfg.numBuckets, done.size, ran.getLong(1).toInt, ran.getLong(0))
+  }
+
+  /** P2/P3 as a CHECKPOINTED pipeline stage (reference workers.py:145-345:
+    * the prompt→LLM→format chain that follows extraction), with the same
+    * bucket-resume discipline as the extract stage: only buckets that are
+    * extract-'done' but not llm-'done' are computed, claim rows make a
+    * crashed run visible to the stuck scan, and the bucketed dynamic
+    * partition overwrite keeps re-runs idempotent. Layout adds
+    * `llm/bucket=N/` rows `(doc_id, full_prompt, llm_response, llm_error,
+    * llm_attempts, formatted_response)`; dead-lettered transport failures
+    * are ROWS here (`llm_error` set), counted per bucket in `n_errors`.
+    *
+    * The transport is the pluggable [[graft.llm.LlmStage.LlmTransport]]
+    * (liveness-probed at submit; EchoTransport in-sandbox — the network
+    * call stays out of the extraction invariant, SURVEY.md §0).
+    */
+  def runLlmStage(spark: SparkSession, cfg: Config,
+      model: String = graft.llm.LlmStage.DefaultModel,
+      transport: graft.llm.LlmStage.LlmTransport = graft.llm.LlmStage.EchoTransport(),
+      maxRetries: Int = graft.llm.LlmStage.MaxRetries,
+      backoffMs: Int => Long = graft.llm.LlmStage.referenceBackoffMs): RunReport = {
+    import graft.llm.LlmStage
+    import graft.textops.LlmFormat
+    val LlmStageName = "llm"
+    val doneExtract = doneBuckets(spark, cfg.outDir, Stage)
+    val doneLlm = doneBuckets(spark, cfg.outDir, LlmStageName)
+    val todo = (doneExtract -- doneLlm).toSeq.sorted
+    if (todo.isEmpty)
+      return RunReport(cfg.numBuckets, doneLlm.size, 0, 0L)
+    val startedTs = java.time.Instant.now().toString
+    writeRunningRows(spark, cfg, todo, startedTs, LlmStageName)
+
+    // prompt build (L1) over the STORED extracted text, pruned to the
+    // resumable buckets
+    val data = spark.read.parquet(s"${cfg.outDir}/data")
+      .where(col("bucket").isin(todo: _*))
+    val prompts = data.select(
+      col("doc_id"),
+      LlmFormat.promptBuild(
+        array_join(transform(
+          filter(col("spans"), s => s.getField("kind") === "text"),
+          s => s.getField("text")), "\n"),
+        lit(LlmFormat.Question),
+        lit(null).cast("string"), lit(null).cast("string")).as("full_prompt"))
+    val replied = LlmStage.generate(prompts, model, transport, maxRetries, backoffMs)
+      .withColumn("formatted_response",
+        LlmFormat.format_best_effort(col("llm_response"), lit(LlmStage.Template),
+          lit(null).cast("string")))
+      // doc ids are the deterministic key: the bucket recomputes from the
+      // same function the extract stage used (one definition, no drift)
+      .withColumn("bucket", bucketCol(cfg.numBuckets))
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    replied.write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket").parquet(s"${cfg.outDir}/llm")
+
+    // commit from the WRITTEN output (same re-read discipline as extract)
+    val written = spark.read.parquet(s"${cfg.outDir}/llm")
+      .where(col("bucket").isin(todo: _*))
+    val perBucket = written.groupBy("bucket").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("llm_error").isNotNull, 1L).otherwise(0L)).as("n_errors"))
+      .cache()
+    val finishedTs = java.time.Instant.now().toString
+    perBucket.select(
+      lit(cfg.runId).as("run_id"),
+      lit(LlmStageName).as("stage"),
+      col("bucket"),
+      lit("done").as("status"),
+      col("n_docs"),
+      lit(null).cast("long").as("n_spans"),
+      lit(null).cast("long").as("text_chars"),
+      lit(null).cast("long").as("n_images"),
+      col("n_errors"),
+      lit(null).cast("long").as("n_dead_letter"),
+      lit(startedTs).cast("timestamp").as("started_ts"),
+      lit(finishedTs).cast("timestamp").as("finished_ts"))
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"${cfg.outDir}/_checkpoints")
+    val ran = perBucket.agg(
+      coalesce(sum("n_docs"), lit(0L)), count(lit(1))).collect()(0)
+    perBucket.unpersist()
+    RunReport(cfg.numBuckets, doneLlm.size, ran.getLong(1).toInt, ran.getLong(0))
   }
 
   /** The per-bucket metrics view (the VERBOSE counter logs of the

@@ -215,6 +215,60 @@ class ResumeSpec extends AnyFunSuite with SparkSpec {
       s"doc_id not pushed: ${scan.metadata("PushedFilters")}")
   }
 
+  test("LLM stage (P2/P3) runs checkpointed over extract-done buckets and resumes") {
+    val out = freshDir()
+    val B = 4
+    ExtractPipeline.run(spark, input, ExtractPipeline.Config(out, "r1", numBuckets = B))
+
+    val r1 = ExtractPipeline.runLlmStage(spark,
+      ExtractPipeline.Config(out, "llm-1", numBuckets = B),
+      backoffMs = _ => 0L)
+    assert(r1.bucketsDone === 0)
+    assert(r1.docsProcessed === input.count())
+
+    // one reply row per extracted doc, formatted, no transport errors
+    val llm = spark.read.parquet(s"$out/llm")
+    assert(llm.count() === input.count())
+    assert(llm.where(col("llm_error").isNotNull).count() === 0)
+    assert(llm.where(col("formatted_response").isNull).count() === 0)
+
+    // rerun is a no-op (all buckets llm-done)
+    val r2 = ExtractPipeline.runLlmStage(spark,
+      ExtractPipeline.Config(out, "llm-2", numBuckets = B), backoffMs = _ => 0L)
+    assert(r2.docsProcessed === 0L)
+
+    // simulate a crash: drop one bucket's llm checkpoint rows -> resume
+    // recomputes exactly that bucket, idempotently
+    val kept = spark.read.parquet(s"$out/_checkpoints")
+      .where(!(col("stage") === "llm" && col("bucket") === 1)).cache()
+    kept.count()
+    kept.coalesce(1).write.mode("overwrite").parquet(s"$out/_ckpt_tmp")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    kept.unpersist()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/_checkpoints"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$out/_ckpt_tmp"),
+      new org.apache.hadoop.fs.Path(s"$out/_checkpoints"))
+    val r3 = ExtractPipeline.runLlmStage(spark,
+      ExtractPipeline.Config(out, "llm-3", numBuckets = B), backoffMs = _ => 0L)
+    assert(r3.bucketsRun === 1)
+    assert(spark.read.parquet(s"$out/llm").count() === input.count())
+    assert(spark.read.parquet(s"$out/llm")
+      .select("doc_id").distinct().count() === input.count())
+
+    // transport failures become dead-letter ROWS with per-bucket counts
+    val out2 = freshDir()
+    ExtractPipeline.run(spark, input, ExtractPipeline.Config(out2, "r1", numBuckets = B))
+    ExtractPipeline.runLlmStage(spark,
+      ExtractPipeline.Config(out2, "llm-1", numBuckets = B),
+      transport = LlmStageSpec.BrokenPromptTransport(), backoffMs = _ => 0L)
+    val dead = spark.read.parquet(s"$out2/llm")
+    assert(dead.where(col("llm_error").isNotNull).count() === input.count())
+    val ck = spark.read.parquet(s"$out2/_checkpoints")
+      .where(col("stage") === "llm" && col("status") === "done")
+    assert(ck.agg(sum("n_errors")).collect()(0).getLong(0) === input.count())
+  }
+
   test("compaction folds N runs' small files into one, resume semantics intact") {
     val out = freshDir()
     val B = 4
