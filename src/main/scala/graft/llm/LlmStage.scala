@@ -158,8 +158,7 @@ object LlmStage {
         lit(null).cast("string"), lit(null).cast("string")).as("full_prompt"))
     generate(prompts, DefaultModel, transport)
       .select(col("doc_id").cast("long").as("doc_id"), col("llm_response"),
-        LlmFormat.format_best_effort(col("llm_response"), lit(Template),
-          lit(null).cast("string")).as("formatted_response"))
+        formattedCol(col("llm_response")).as("formatted_response"))
       .orderBy("doc_id")
   }
 
@@ -167,6 +166,22 @@ object LlmStage {
     * format stage does real work: `name: {w1}, ref: {h32(prompt)}`.
     */
   val Template = """{"name": "", "ref": ""}"""
+
+  /** L1 prompt built from an extracted span array (text spans joined by
+    * newline) — ONE definition shared by the inline [[pipelineQuery]] and
+    * the checkpointed [[graft.pipeline.ExtractPipeline.runLlmStage]].
+    */
+  def promptFromSpans(spans: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    LlmFormat.promptBuild(
+      array_join(transform(
+        filter(spans, s => s.getField("kind") === "text"),
+        s => s.getField("text")), "\n"),
+      lit(LlmFormat.Question),
+      lit(null).cast("string"), lit(null).cast("string"))
+
+  /** P3 formatted-response column for a raw reply (shared definition). */
+  def formattedCol(reply: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    LlmFormat.format_best_effort(reply, lit(Template), lit(null).cast("string"))
 
   /** The FULL reference chain (workers.py:39-345) as one inline query:
     * extraction (P1) → prompt build over the EXTRACTED text (L1) →
@@ -176,20 +191,14 @@ object LlmStage {
     */
   def pipelineQuery(spark: SparkSession, sfDir: String,
       transport: LlmTransport = EchoTransport()): DataFrame = {
+    graft.serve.Queries.validateProvider("ollama", None) // V3 gate, like stageQuery
     val extracted = graft.extract.Extractor.extract(
       graft.synth.SpanSynth.docsInput(spark, sfDir))
     val prompts = extracted.select(
-      col("doc_id"),
-      LlmFormat.promptBuild(
-        array_join(transform(
-          filter(col("spans"), s => s.getField("kind") === "text"),
-          s => s.getField("text")), "\n"),
-        lit(LlmFormat.Question),
-        lit(null).cast("string"), lit(null).cast("string")).as("full_prompt"))
+      col("doc_id"), promptFromSpans(col("spans")).as("full_prompt"))
     generate(prompts, DefaultModel, transport)
       .select(col("doc_id"), col("llm_response"),
-        LlmFormat.format_best_effort(col("llm_response"), lit(Template),
-          lit(null).cast("string")).as("formatted_response"))
+        formattedCol(col("llm_response")).as("formatted_response"))
       .orderBy("doc_id")
   }
 }

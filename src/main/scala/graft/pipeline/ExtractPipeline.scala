@@ -67,6 +67,12 @@ object ExtractPipeline {
 
   private val Stage = "extract"
 
+  /** Data subdirectory per checkpointed stage (the read/verify surfaces
+    * take a stage parameter and resolve their table through this map, so
+    * the invariant checker covers every stage, not just extract).
+    */
+  private val StageData = Map("extract" -> "data", "llm" -> "llm")
+
   /** THE bucket function of the storage layout — every consumer (the
     * write path, resume, and the serving layer's driver-side pruning)
     * derives from this one definition, so the layout can never drift
@@ -299,24 +305,21 @@ object ExtractPipeline {
     writeRunningRows(spark, cfg, todo, startedTs, LlmStageName)
 
     // prompt build (L1) over the STORED extracted text, pruned to the
-    // resumable buckets
+    // resumable buckets (prompt/format expressions shared with the
+    // inline llm_pipeline query — one definition)
     val data = spark.read.parquet(s"${cfg.outDir}/data")
       .where(col("bucket").isin(todo: _*))
     val prompts = data.select(
-      col("doc_id"),
-      LlmFormat.promptBuild(
-        array_join(transform(
-          filter(col("spans"), s => s.getField("kind") === "text"),
-          s => s.getField("text")), "\n"),
-        lit(LlmFormat.Question),
-        lit(null).cast("string"), lit(null).cast("string")).as("full_prompt"))
+      col("doc_id"), LlmStage.promptFromSpans(col("spans")).as("full_prompt"))
+    // the output CARRIES the stored bucket (joined back on the stringified
+    // id) rather than re-hashing: generate stringifies doc_id, and
+    // xxhash64(string) differs from xxhash64(long) — re-hashing would
+    // scatter a long-keyed input's rows across the WRONG partitions
+    val bucketOfDoc = data.select(
+      col("doc_id").cast("string").as("doc_id"), col("bucket"))
     val replied = LlmStage.generate(prompts, model, transport, maxRetries, backoffMs)
-      .withColumn("formatted_response",
-        LlmFormat.format_best_effort(col("llm_response"), lit(LlmStage.Template),
-          lit(null).cast("string")))
-      // doc ids are the deterministic key: the bucket recomputes from the
-      // same function the extract stage used (one definition, no drift)
-      .withColumn("bucket", bucketCol(cfg.numBuckets))
+      .withColumn("formatted_response", LlmStage.formattedCol(col("llm_response")))
+      .join(bucketOfDoc, Seq("doc_id"))
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     replied.write.mode(SaveMode.Overwrite)
@@ -376,17 +379,19 @@ object ExtractPipeline {
     * fix_extraction_bug.py:26-70): buckets claimed done whose data is
     * missing or doc counts disagree. Empty result = healthy.
     */
-  def verifyCheckpoints(spark: SparkSession, outDir: String): DataFrame = {
+  def verifyCheckpoints(spark: SparkSession, outDir: String,
+      stage: String = Stage): DataFrame = {
     val path = s"$outDir/_checkpoints"
+    val dataPath = s"$outDir/${StageData(stage)}"
     recoverStore(spark, path)
     val ckpt = (if (fileExists(spark, path))
       spark.read.parquet(path)
-        .where(col("stage") === Stage && col("status") === "done")
+        .where(col("stage") === stage && col("status") === "done")
         .select("bucket", "n_docs")
     else emptyCkptView(spark, "bucket INT, n_docs BIGINT"))
       .groupBy("bucket").agg(max("n_docs").as("ckpt_docs"))
-    val actual = (if (fileExists(spark, s"$outDir/data"))
-      spark.read.parquet(s"$outDir/data").select("bucket")
+    val actual = (if (fileExists(spark, dataPath))
+      spark.read.parquet(dataPath).select("bucket")
     else emptyCkptView(spark, "bucket INT"))
       .groupBy("bucket").agg(count(lit(1)).as("data_docs"))
     ckpt.join(actual, Seq("bucket"), "full_outer")
@@ -401,13 +406,13 @@ object ExtractPipeline {
     * monitoring query every operator of a long-running pipeline runs first.
     */
   def staleCheckpoints(spark: SparkSession, outDir: String,
-      olderThanHours: Double): DataFrame = {
+      olderThanHours: Double, stage: String = Stage): DataFrame = {
     val path = s"$outDir/_checkpoints"
     recoverStore(spark, path)
     if (!fileExists(spark, path)) // nothing claimed yet => nothing stuck
       return emptyCkptView(spark,
         "run_id STRING, bucket INT, status STRING, started_ts TIMESTAMP")
-    val ckpt = spark.read.parquet(path).where(col("stage") === Stage)
+    val ckpt = spark.read.parquet(path).where(col("stage") === stage)
     // ties (a run's running+done rows share started_ts): 'done' wins
     val w = Window.partitionBy("bucket")
       .orderBy(desc("started_ts"), asc("status"))

@@ -506,14 +506,20 @@ ORDER BY pref_25 DESC, pref_20 DESC, pref_15 DESC, pref_flash DESC, model, summa
     * L4-formatted. The echo reply is `name: {ascii-letters of context's
     * first word}, ref: {h32(full_prompt)}`.
     */
-  val llmStage: String = {
+  /** The echo-transport P2→P3 chain over any `(doc_id, text)` source
+    * subquery — ONE definition shared by [[llmStage]] (raw documents) and
+    * [[llmPipeline]] (extracted text), mirroring the shared
+    * promptFromSpans/formattedCol expressions on the Spark side.
+    */
+  private def echoChainSql(src: String): String = {
     val q = LlmFormat.Question
     val tail = "chr(10) || chr(10) || 'Based on the context above, answer directly and objectively.'"
-    s"""WITH p AS (
+    s"""WITH src AS ($src),
+p AS (
   SELECT doc_id,
     CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = ''
          THEN '${LlmFormat.EmptyContextSentinel}' ELSE text END AS ctx
-  FROM documents),
+  FROM src),
 fp AS (
   SELECT doc_id, ctx,
     'Context: ' || ctx || chr(10) || chr(10) || 'Question: ' || '$q' || $tail AS full_prompt
@@ -529,38 +535,18 @@ SELECT doc_id,
 FROM r ORDER BY doc_id"""
   }
 
+  val llmStage: String = echoChainSql("SELECT doc_id, text FROM documents")
+
   /** The chained P1→P2→P3 pipeline (mirrors
     * [[graft.llm.LlmStage.pipelineQuery]]): the llmStage construction with
     * the context coming from the EXTRACTED text of each doc instead of the
     * raw documents table.
     */
-  val llmPipeline: String = {
-    val q = LlmFormat.Question
-    val tail = "chr(10) || chr(10) || 'Based on the context above, answer directly and objectively.'"
-    s"""WITH ex AS (
-  SELECT doc_id,
+  val llmPipeline: String = echoChainSql(
+    s"""SELECT doc_id,
     coalesce(string_agg(text, chr(10) ORDER BY "offset")
                FILTER (WHERE kind = 'text'), '') AS text
-  FROM (${ExtractOracle.sql(None)}) GROUP BY doc_id),
-p AS (
-  SELECT doc_id,
-    CASE WHEN regexp_replace(text, '^\\s+|\\s+$$', '', 'g') = ''
-         THEN '${LlmFormat.EmptyContextSentinel}' ELSE text END AS ctx
-  FROM ex),
-fp AS (
-  SELECT doc_id, ctx,
-    'Context: ' || ctx || chr(10) || chr(10) || 'Question: ' || '$q' || $tail AS full_prompt
-  FROM p),
-r AS (
-  SELECT doc_id,
-    coalesce(nullif(regexp_replace(regexp_extract(ctx, '^[^ \\n]*'), '[^A-Za-z]', '', 'g'), ''), 'empty') AS w1,
-    CAST(${h32("full_prompt")} AS VARCHAR) AS h
-  FROM fp)
-SELECT doc_id,
-  'name: ' || w1 || ', ref: ' || h AS llm_response,
-  '{"name": "' || w1 || '", "ref": "' || h || '"}' AS formatted_response
-FROM r ORDER BY doc_id"""
-  }
+  FROM (${ExtractOracle.sql(None)}) GROUP BY doc_id""")
 
   /** Media features over the extracted output's image spans — mirrors the
     * deterministic stub decode in graft.media.MediaFeatures.

@@ -249,9 +249,18 @@ class ResumeSpec extends AnyFunSuite with SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(s"$out/_checkpoints"), true)
     fs.rename(new org.apache.hadoop.fs.Path(s"$out/_ckpt_tmp"),
       new org.apache.hadoop.fs.Path(s"$out/_checkpoints"))
+    // the stage-aware invariant checker flags the missing llm checkpoint
+    // (data exists for bucket 1 but no done row) before the resume...
+    assert(ExtractPipeline.verifyCheckpoints(spark, out, "llm")
+      .select("bucket").collect().map(_.getInt(0)).toSeq === Seq(1))
     val r3 = ExtractPipeline.runLlmStage(spark,
       ExtractPipeline.Config(out, "llm-3", numBuckets = B), backoffMs = _ => 0L)
     assert(r3.bucketsRun === 1)
+    // ...and is clean after it; extract-stage view stays healthy too
+    assert(ExtractPipeline.verifyCheckpoints(spark, out, "llm").count() === 0)
+    assert(ExtractPipeline.verifyCheckpoints(spark, out).count() === 0)
+    // llm claim rows are visible to the stage-aware stuck scan
+    assert(ExtractPipeline.staleCheckpoints(spark, out, -1.0, "llm").count() === 0)
     assert(spark.read.parquet(s"$out/llm").count() === input.count())
     assert(spark.read.parquet(s"$out/llm")
       .select("doc_id").distinct().count() === input.count())
