@@ -119,6 +119,15 @@ object Bench {
         val ratio = cores4N.toDouble / coresN
         val effWall = t4N / (ratio * tN)
         val effCpu = c4N / (ratio * cN)
+        // an efficiency far outside [0.5, 1.3] means the two levels'
+        // best runs sampled DIFFERENT steal weather (one saw a storm the
+        // other missed — a measured single-rep artifact hit 11.5 when the
+        // N child ran entirely inside a storm); say so in the artifact
+        // instead of letting the headline stand alone
+        val note =
+          if (effWall > 1.3 || effWall < 0.5)
+            s""","weather_note":"levels sampled different steal weather (${rN.size} paired rep(s)); capability ratio unreliable this run -- compare pass_secs and prior-run/BASELINE.md history""""
+          else ""
         s"""{"docs":$nDocs,"cores_n":$coresN,"cores_4n":$cores4N,""" +
           s""""docs_per_sec_n":${f"$tN%.1f"},"docs_per_sec_4n":${f"$t4N%.1f"},""" +
           s""""efficiency":${f"$effWall%.3f"},"efficiency_cpu":${f"$effCpu%.3f"},""" +
@@ -126,7 +135,7 @@ object Bench {
           s""""wall_runs_n":${arr(rN.map(_._1))},"wall_runs_4n":${arr(r4N.map(_._1))},""" +
           s""""cpu_runs_n":${arr(rN.map(_._2))},"cpu_runs_4n":${arr(r4N.map(_._2))},""" +
           s""""pass_secs_n":${passSecsN.asScala.map(p => p.map(x => f"$x%.1f").mkString("[", ",", "]")).mkString("[", ",", "]")},""" +
-          s""""pass_secs_4n":${passSecs4N.asScala.map(p => p.map(x => f"$x%.1f").mkString("[", ",", "]")).mkString("[", ",", "]")}}"""
+          s""""pass_secs_4n":${passSecs4N.asScala.map(p => p.map(x => f"$x%.1f").mkString("[", ",", "]")).mkString("[", ",", "]")}$note}"""
       }
       println(
         s"""{"metric":"total_query_sec","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"queries_timed":$timed,"queries_total":${results.size},"sf":"$sfDir","scaling":$scaling,"query_rounds":$queryRounds,"budget_sec":${f"$budgetSec%.0f"},"elapsed_sec":${f"$elapsed%.0f"}}""")
@@ -373,11 +382,15 @@ object Bench {
       // the remaining budget fits it (estimated from the last rep, with a
       // floor for the first), and each child gets the remaining budget
       // minus a reserve as its hard timeout
-      var lastRepSec = 0.0
       var i = 0
       var stop = false
       while (i < maxReps && !stop) {
-        if (remaining < math.max(1.2 * lastRepSec, 150)) {
+        // fixed floor, NOT a last-rep extrapolation: after one storm rep
+        // (~580 s) the old 1.2x-last gate refused a calm rep that costs
+        // ~150 s — exactly the rep that would have fixed the weather-skew
+        // ratio. Children self-limit (shrinking pass budget + hard
+        // timeout), so an attempt can never overrun the budget.
+        if (remaining < 300) {
           System.err.println(f"[bench] budget: skipping scaling rep ${i + 1} (${remaining}%.0f s left)")
           stop = true
         } else {
@@ -396,9 +409,9 @@ object Bench {
                   State.runs4N.add((n4W, n4C))
                   State.passSecsN.add(nP)
                   State.passSecs4N.add(n4P)
-                  lastRepSec = State.elapsed - repT0
+                  val repSec = State.elapsed - repT0
                   i += 1
-                  System.err.println(f"[bench] rep $i: tN=($nW,$nC) t4N=($n4W,$n4C) (${lastRepSec}%.0f s)")
+                  System.err.println(f"[bench] rep $i: tN=($nW,$nC) t4N=($n4W,$n4C) (${repSec}%.0f s)")
               }
           }
         }
