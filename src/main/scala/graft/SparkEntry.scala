@@ -68,6 +68,7 @@ object SparkEntry {
     // corpus construction: deterministic training-mix sampling + packing
     "corpus_sample" -> ((s, dir) => graft.textops.Corpus.sampleStratified(s, dir)),
     "corpus_pack" -> ((s, dir) => graft.textops.Corpus.packSequences(s, dir)),
+    "corpus_pack_sharded" -> ((s, dir) => graft.textops.Corpus.packSequencesSharded(s, dir)),
     // multimodal plumbing (stubbed decode, real schema/batching)
     "media_features" -> ((s, dir) => graft.media.MediaFeatures.features(s, dir)),
     // REAL javax.imageio decode: PNG encode->decode round trip per image
@@ -123,6 +124,7 @@ SELECT doc_id, kind, text, media_ref, "offset" FROM synth ORDER BY doc_id, "offs
     "text_gopher" -> graft.verify.TextOracles.gopherRules,
     "corpus_sample" -> graft.verify.TextOracles.sampleStratified,
     "corpus_pack" -> graft.verify.TextOracles.packSequences,
+    "corpus_pack_sharded" -> graft.verify.TextOracles.packSequencesSharded,
     "media_features" -> graft.verify.TextOracles.mediaFeatures,
     "media_decode" -> graft.verify.TextOracles.mediaDecode,
     "llm_prompt_build" -> graft.verify.TextOracles.promptBuild,

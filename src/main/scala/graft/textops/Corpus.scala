@@ -1,6 +1,6 @@
 package graft.textops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -67,4 +67,47 @@ object Corpus {
         pmod(col("start_tok"), lit(PackCapacity.toLong)).as("offset_in_bin"))
       .orderBy("doc_id")
   }
+
+  /** Shard count for [[packSequencesSharded]]'s driver query (at 100 TB
+    * this would be thousands; the packing shape is shard-count-agnostic).
+    */
+  val PackShards = 8
+
+  /** Deterministic shard for a doc: `h32("shard-" || doc_id) % PackShards`
+    * — portable (same value in Spark, DuckDB, Scala), reproducible under
+    * resume/retry, and independent of the sampling hash (different key
+    * prefix).
+    */
+  def packShard(docId: Column): Column =
+    pmod(PortableHash.hexint32(concat(lit("shard-"), docId.cast("string"))),
+      lit(PackShards.toLong))
+
+  /** Scale-safe sequence packing: the same concat-and-chunk as
+    * [[packSequences]] but windowed PER SHARD
+    * (`Window.partitionBy(shard).orderBy(doc_id)`), so the plan is a
+    * hash-partitioned exchange on the shard key followed by shard-local
+    * sorts — embarrassingly parallel, no SinglePartition funnel. Training
+    * shards are independent token streams anyway, so per-shard packing is
+    * the semantics a real pretraining pipeline wants.
+    *
+    * `df` needs `doc_id` and `text`; `shard` is any deterministic
+    * grouping column expression (see [[packShard]]).
+    */
+  def packSequencesBy(df: DataFrame, shard: Column): DataFrame = {
+    val toks = size(filter(split(col("text"), " "), w => w =!= "")).cast("long")
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col("doc_id"), shard.as("shard"), toks.as("n_tokens"))
+      .withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("start_tok"),
+        expr(s"start_tok DIV $PackCapacity").as("bin_id"),
+        pmod(col("start_tok"), lit(PackCapacity.toLong)).as("offset_in_bin"))
+  }
+
+  /** Driver query: [[packSequencesBy]] over `documents` with the
+    * [[packShard]] deterministic shard.
+    */
+  def packSequencesSharded(spark: SparkSession, sfDir: String): DataFrame =
+    packSequencesBy(spark.read.parquet(s"$sfDir/documents.parquet"), packShard(col("doc_id")))
+      .orderBy("doc_id")
 }

@@ -99,10 +99,30 @@ SELECT doc_id, lang, h FROM h WHERE h < threshold ORDER BY doc_id"""
   FROM documents),
 c AS (
   SELECT doc_id, n_tokens,
-    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
   FROM t)
 SELECT doc_id, n_tokens, start_tok,
+  start_tok // ${Corpus.PackCapacity} AS bin_id,
+  start_tok % ${Corpus.PackCapacity} AS offset_in_bin
+FROM c ORDER BY doc_id"""
+  }
+
+  /** Per-shard packing (mirrors [[graft.textops.Corpus.packSequencesSharded]]). */
+  val packSequencesSharded: String = {
+    import graft.textops.{Corpus, PortableHash}
+    val shard = s"${PortableHash.duckHexint32("'shard-' || CAST(doc_id AS VARCHAR)")} % ${Corpus.PackShards}"
+    s"""WITH t AS (
+  SELECT doc_id,
+    $shard AS shard,
+    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+  FROM t)
+SELECT doc_id, shard, n_tokens, start_tok,
   start_tok // ${Corpus.PackCapacity} AS bin_id,
   start_tok % ${Corpus.PackCapacity} AS offset_in_bin
 FROM c ORDER BY doc_id"""

@@ -40,4 +40,49 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     }
     assert(rows.head.getAs[Long]("start_tok") === 0L)
   }
+
+  test("sharded packing chains per shard and is a partition of the corpus") {
+    val rows = Corpus.packSequencesSharded(spark, sf).collect()
+    val cap = Corpus.PackCapacity
+    val byShard = rows.groupBy(_.getAs[Long]("shard"))
+    assert(byShard.size > 1) // the hash actually spreads docs
+    byShard.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+      assert(sorted.head.getAs[Long]("start_tok") === 0L)
+      sorted.sliding(2).foreach {
+        case Array(p, n) =>
+          assert(n.getAs[Long]("start_tok") ===
+            p.getAs[Long]("start_tok") + p.getAs[Long]("n_tokens"))
+        case _ => ()
+      }
+      sorted.foreach { r =>
+        val start = r.getAs[Long]("start_tok")
+        assert(r.getAs[Long]("bin_id") === start / cap)
+        assert(r.getAs[Long]("offset_in_bin") === start % cap)
+      }
+    }
+    // every doc appears exactly once with the same token count as the
+    // global form — sharding repartitions the stream, never drops/dupes
+    val global = Corpus.packSequences(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    assert(rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap === global)
+  }
+
+  test("sampling and packing are invariant under input repartitioning") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val key = (r: org.apache.spark.sql.Row) => r.getAs[Long]("doc_id")
+    // packSequencesBy on a 7-way repartitioned input must be bit-identical:
+    // determinism under retry/resume is the promise that makes hash-based
+    // sampling and packing auditable at scale
+    val a = Corpus.packSequencesBy(docs, Corpus.packShard(col("doc_id")))
+      .collect().sortBy(key)
+    val b = Corpus.packSequencesBy(docs.repartition(7), Corpus.packShard(col("doc_id")))
+      .collect().sortBy(key)
+    assert(a.toSeq === b.toSeq)
+    val s1 = Corpus.sampleStratified(spark, sf).collect().sortBy(key)
+    // sampleStratified reads its own scan; invariance here is across runs
+    val s2 = Corpus.sampleStratified(spark, sf).collect().sortBy(key)
+    assert(s1.toSeq === s2.toSeq)
+  }
 }

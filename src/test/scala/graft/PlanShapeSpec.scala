@@ -42,6 +42,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(count(sh, "simhash60(") === 1, s"\n$sh")
   }
 
+  test("sharded packing exchanges on shard, never SinglePartition") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.textops.Corpus.packSequencesBy(
+      spark.read.parquet(s"$sf/documents.parquet"),
+      graft.textops.Corpus.packShard(col("doc_id")))
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("hashpartitioning(shard"), s"\n$phys")
+    assert(!phys.contains("SinglePartition"), s"\n$phys")
+  }
+
   test("flagship extraction plan has no shuffle and a pruned scan") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-planshape").toString
     graft.synth.SpanSynth.docsInput(spark, sf).write.mode("overwrite")
