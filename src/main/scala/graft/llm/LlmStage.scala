@@ -48,6 +48,18 @@ object LlmStage {
   val MaxRetries = 3
   def referenceBackoffMs(retryIdx: Int): Long = 60000L * (1L << retryIdx)
 
+  /** Consecutive terminally-failed rows before a partition's circuit
+    * opens (see [[generate]]). The reference retries per-doc
+    * (workers.py:137-139) because a Celery worker handles one doc at a
+    * time; a Spark partition holds millions of rows, and a DEAD endpoint
+    * must not cost `maxRetries` sleeps on every one of them — after
+    * [[CircuitBreakerAfter]] rows fail with retries exhausted, later rows
+    * get ONE sleepless attempt each (half-open: any success closes the
+    * circuit again), so a dead-endpoint partition completes in O(K)
+    * sleeps total and the rows dead-letter for the resume pass.
+    */
+  val CircuitBreakerAfter = 5
+
   /** A transport failure retrying cannot fix (malformed prompt, 4xx-class
     * rejection). Dead-letters immediately — no retry, no backoff.
     */
@@ -79,6 +91,28 @@ object LlmStage {
     }
   }
 
+  /** Config-gated transport selection: `GRAFT_LLM_TRANSPORT` ∈
+    * {`echo` (default), `ollama`, `gemini`}. `ollama` reads
+    * `OLLAMA_BASE_URL` (the reference's env knob + default,
+    * utils.py:19); `gemini` requires `GEMINI_API_KEY` (the reference
+    * carries the key per-request, workers.py:188-196 — an env var is the
+    * batch-job equivalent). Nothing in-sandbox sets the gate, so every
+    * test and driver run gets the deterministic [[EchoTransport]]; a
+    * deployment flips ONE env var to go live.
+    */
+  def transportFromEnv(env: Map[String, String] = sys.env): LlmTransport =
+    env.getOrElse("GRAFT_LLM_TRANSPORT", "echo") match {
+      case "echo" => EchoTransport()
+      case "ollama" =>
+        OllamaTransport(env.getOrElse("OLLAMA_BASE_URL", "http://localhost:11434"))
+      case "gemini" =>
+        GeminiTransport(env.getOrElse("GEMINI_API_KEY",
+          throw new IllegalArgumentException(
+            "GRAFT_LLM_TRANSPORT=gemini requires GEMINI_API_KEY")))
+      case other =>
+        throw new IllegalArgumentException(s"unknown GRAFT_LLM_TRANSPORT '$other'")
+    }
+
   /** Run the generate stage: `(doc_id, full_prompt)` in;
     * `(doc_id, full_prompt, llm_response, llm_error, llm_attempts)` out —
     * one transport per partition, per-row retry-then-dead-letter.
@@ -91,7 +125,8 @@ object LlmStage {
   def generate(df: DataFrame, model: String, transport: LlmTransport,
       maxRetries: Int = MaxRetries,
       backoffMs: Int => Long = referenceBackoffMs,
-      probeLiveness: Boolean = true): DataFrame = {
+      probeLiveness: Boolean = true,
+      breakerAfter: Int = CircuitBreakerAfter): DataFrame = {
     if (probeLiveness)
       require(transport.live(),
         s"LLM transport for model '$model' failed the liveness probe — " +
@@ -109,11 +144,15 @@ object LlmStage {
       .as[(String, String)]
       .mapPartitions { rows =>
         val t = transport // one instance per partition (pooled-client shape)
+        // partition-local circuit breaker state (see CircuitBreakerAfter)
+        var consecTransientFails = 0
         rows.map { case (id, prompt) =>
           // null prompt (null doc text) degrades to a null reply — one bad
           // row must not kill a 10^12-doc job
           if (prompt == null) (id, prompt, null: String, null: String, 0)
           else {
+            val circuitOpen = consecTransientFails >= breakerAfter
+            val rowRetries = if (circuitOpen) 0 else maxRetries
             var attempt = 0
             var reply: String = null
             var err: String = null
@@ -125,11 +164,17 @@ object LlmStage {
                 case e: DeterministicLlmError =>
                   err = s"deterministic: ${e.getMessage}"; done = true
                 case scala.util.control.NonFatal(e) =>
-                  err = s"transient: ${e.getClass.getSimpleName}: ${e.getMessage}"
-                  if (attempt > maxRetries) done = true
+                  err = s"transient: ${e.getClass.getSimpleName}: ${e.getMessage}" +
+                    (if (circuitOpen) " (circuit open)" else "")
+                  if (attempt > rowRetries) done = true
                   else Thread.sleep(backoffMs(attempt - 1))
               }
             }
+            // deterministic errors say nothing about endpoint health —
+            // only transient terminal failures open (and successes close)
+            // the circuit
+            if (err != null && err.startsWith("transient")) consecTransientFails += 1
+            else if (err == null) consecTransientFails = 0
             (id, prompt, reply, err, attempt)
           }
         }

@@ -109,7 +109,7 @@ object ExtractPipeline {
     * renames), restore it — otherwise every reader sees an empty store and
     * resume recomputes the world.
     */
-  private def recoverStore(spark: SparkSession, path: String): Unit = {
+  private[graft] def recoverStore(spark: SparkSession, path: String): Unit = {
     val fs = hadoopFs(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
     val pOld = new org.apache.hadoop.fs.Path(s"${path}_old")
@@ -325,8 +325,12 @@ object ExtractPipeline {
     replied.write.mode(SaveMode.Overwrite)
       .partitionBy("bucket").parquet(s"${cfg.outDir}/llm")
 
-    // commit from the WRITTEN output (same re-read discipline as extract)
-    val written = spark.read.parquet(s"${cfg.outDir}/llm")
+    // commit from the WRITTEN output (same re-read discipline as extract).
+    // Explicit schema: an all-empty run writes a fileless directory, and
+    // schema inference over zero files would throw — with the schema given
+    // it reads as an empty table and the empty-claim path below closes the
+    // buckets.
+    val written = spark.read.schema(replied.schema).parquet(s"${cfg.outDir}/llm")
       .where(col("bucket").isin(todo: _*))
     val perBucket = written.groupBy("bucket").agg(
       count(lit(1)).as("n_docs"),
@@ -347,6 +351,34 @@ object ExtractPipeline {
       lit(startedTs).cast("timestamp").as("started_ts"),
       lit(finishedTs).cast("timestamp").as("finished_ts"))
       .coalesce(1).write.mode(SaveMode.Append).parquet(s"${cfg.outDir}/_checkpoints")
+
+    // claimed buckets that produced NO output rows (e.g. every row dropped
+    // for a null doc_id) still need a terminal checkpoint: unlike the
+    // extract stage's 'empty' (recomputable — a fuller INPUT may cover the
+    // bucket later), the llm input is the frozen extract output, so a
+    // rerun would yield the same nothing — a 0-doc 'done' row closes the
+    // claim, or the stuck scan flags the bucket forever and every resume
+    // recomputes it
+    val withData = perBucket.select("bucket").collect().map(_.getInt(0)).toSet
+    val emptyClaimed = todo.filterNot(withData)
+    if (emptyClaimed.nonEmpty) {
+      import spark.implicits._
+      emptyClaimed.toDF("bucket").select(
+        lit(cfg.runId).as("run_id"),
+        lit(LlmStageName).as("stage"),
+        col("bucket"),
+        lit("done").as("status"),
+        lit(0L).as("n_docs"),
+        lit(null).cast("long").as("n_spans"),
+        lit(null).cast("long").as("text_chars"),
+        lit(null).cast("long").as("n_images"),
+        lit(0L).as("n_errors"),
+        lit(null).cast("long").as("n_dead_letter"),
+        lit(startedTs).cast("timestamp").as("started_ts"),
+        lit(finishedTs).cast("timestamp").as("finished_ts"))
+        .coalesce(1).write.mode(SaveMode.Append).parquet(s"${cfg.outDir}/_checkpoints")
+    }
+
     val ran = perBucket.agg(
       coalesce(sum("n_docs"), lit(0L)), count(lit(1))).collect()(0)
     perBucket.unpersist()

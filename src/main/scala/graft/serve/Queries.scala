@@ -92,6 +92,10 @@ object Queries {
     */
   def storedNumBuckets(spark: SparkSession, outDir: String): Option[Int] = {
     val path = s"$outDir/_lineage"
+    // same crash self-heal as the pipeline readers: a cleanup/compaction
+    // crash between its two renames leaves only _lineage_old, which is
+    // recoverable — the serving layer must not read that as "no store"
+    graft.pipeline.ExtractPipeline.recoverStore(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
     if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
       return None

@@ -72,6 +72,50 @@ class LlmStageSpec extends AnyFunSuite with SparkSpec {
     assert(rows(1).getAs[Int]("llm_attempts") === 0)
   }
 
+  test("circuit breaker: a dead endpoint costs O(K) sleeps, not O(rows)") {
+    LlmStageSpec.sleeps.set(0)
+    val n = 20
+    val out = LlmStage.generate(prompts(n).coalesce(1), "m",
+      LlmStageSpec.FlakyTransport(Int.MaxValue),
+      maxRetries = 3, backoffMs = LlmStageSpec.countingBackoff,
+      breakerAfter = 5).collect().sortBy(_.getAs[String]("doc_id").toLong)
+    assert(out.length === n) // every row survives as a dead letter
+    assert(out.forall(_.getAs[String]("llm_response") == null))
+    // first 5 rows burn full retries; once the circuit opens, one
+    // sleepless attempt per row
+    assert(out.take(5).forall(_.getAs[Int]("llm_attempts") === 4))
+    assert(out.drop(5).forall(_.getAs[Int]("llm_attempts") === 1))
+    assert(out.drop(5).forall(_.getAs[String]("llm_error").contains("(circuit open)")))
+    assert(LlmStageSpec.sleeps.get() === 5 * 3)
+  }
+
+  test("circuit breaker is half-open: one success closes it again") {
+    LlmStageSpec.sleeps.set(0)
+    // docs 0-7 fail, 8-9 succeed (closing the circuit), 10-14 fail again
+    val out = LlmStage.generate(prompts(15).coalesce(1), "m",
+      LlmStageSpec.WindowedTransport(okFrom = 8, okTo = 9),
+      maxRetries = 3, backoffMs = LlmStageSpec.countingBackoff,
+      breakerAfter = 5).collect().sortBy(_.getAs[String]("doc_id").toLong)
+    assert(out.slice(8, 10).forall(_.getAs[String]("llm_error") == null))
+    // rows 10+ got full retries again — the circuit closed on success
+    assert(out.drop(10).forall(_.getAs[Int]("llm_attempts") === 4))
+    // 5 breaker-opening rows before 8, 5 after the close: 10 * 3 sleeps
+    assert(LlmStageSpec.sleeps.get() === 10 * 3)
+  }
+
+  test("deterministic errors do not open the circuit") {
+    LlmStageSpec.sleeps.set(0)
+    val out = LlmStage.generate(prompts(12).coalesce(1), "m",
+      LlmStageSpec.BrokenPromptTransport(),
+      maxRetries = 3, backoffMs = LlmStageSpec.countingBackoff,
+      breakerAfter = 5).collect()
+    // every row still gets its single deterministic attempt; no sleeps at
+    // all and no "(circuit open)" marker
+    assert(out.forall(_.getAs[Int]("llm_attempts") === 1))
+    assert(out.forall(!_.getAs[String]("llm_error").contains("circuit")))
+    assert(LlmStageSpec.sleeps.get() === 0)
+  }
+
   test("mixed batch: flaky rows succeed while broken rows dead-letter") {
     val out = LlmStage.generate(prompts(4), "m", LlmStageSpec.MixedTransport(),
       backoffMs = noBackoff).orderBy("doc_id").collect()
@@ -108,6 +152,21 @@ object LlmStageSpec {
   case class DeadTransport() extends LlmTransport {
     override def live(): Boolean = false
     override def generate(model: String, prompt: String): String = "unreachable"
+  }
+
+  /** Shared sleep counter for the circuit-breaker specs (local mode: the
+    * executor shares the JVM, so the static is visible to assertions).
+    */
+  val sleeps = new java.util.concurrent.atomic.AtomicInteger(0)
+  val countingBackoff: Int => Long = _ => { sleeps.incrementAndGet(); 0L }
+
+  /** Transient-fails every doc except ids in [okFrom, okTo]. */
+  case class WindowedTransport(okFrom: Int, okTo: Int) extends LlmTransport {
+    override def generate(model: String, prompt: String): String = {
+      val id = "doc(\\d+)".r.findFirstMatchIn(prompt).get.group(1).toInt
+      if (id >= okFrom && id <= okTo) s"ok: $prompt"
+      else throw new java.io.IOException(s"connection reset (doc $id)")
+    }
   }
 
   /** Deterministic-broken for even docs, fine for odd. */

@@ -278,6 +278,39 @@ class ResumeSpec extends AnyFunSuite with SparkSpec {
     assert(ck.agg(sum("n_errors")).collect()(0).getLong(0) === input.count())
   }
 
+  test("LLM bucket yielding zero rows gets a terminal checkpoint, not stuck") {
+    val out = freshDir()
+    val B = 4
+    ExtractPipeline.run(spark, input, ExtractPipeline.Config(out, "r1", numBuckets = B))
+
+    // poison one stored bucket: every row loses its doc_id, so the llm
+    // stage drops them all and writes NOTHING for that bucket (the ADVICE
+    // scenario: a claimed bucket absent from the written output)
+    val data = spark.read.parquet(s"$out/data")
+    val poisoned = data.where(col("bucket") === 1)
+      .withColumn("doc_id", lit(null).cast("string"))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    poisoned.write.mode("overwrite").partitionBy("bucket").parquet(s"$out/data")
+
+    val r1 = ExtractPipeline.runLlmStage(spark,
+      ExtractPipeline.Config(out, "llm-1", numBuckets = B), backoffMs = _ => 0L)
+    assert(r1.bucketsRun === B - 1) // bucket 1 produced no output rows
+
+    // bucket 1 still got a TERMINAL 0-doc done row...
+    val ck = spark.read.parquet(s"$out/_checkpoints")
+      .where(col("stage") === "llm" && col("bucket") === 1 && col("status") === "done")
+      .collect()
+    assert(ck.length === 1)
+    assert(ck(0).getAs[Long]("n_docs") === 0L)
+    // ...so the stuck scan is quiet and a rerun is a no-op instead of
+    // recomputing the bucket forever
+    assert(ExtractPipeline.staleCheckpoints(spark, out, -1.0, "llm").count() === 0)
+    val r2 = ExtractPipeline.runLlmStage(spark,
+      ExtractPipeline.Config(out, "llm-2", numBuckets = B), backoffMs = _ => 0L)
+    assert(r2.docsProcessed === 0L)
+    assert(r2.bucketsRun === 0)
+  }
+
   test("compaction folds N runs' small files into one, resume semantics intact") {
     val out = freshDir()
     val B = 4
