@@ -96,6 +96,19 @@ object Bench {
 
     def elapsed: Double = (System.nanoTime() - startNanos) / 1e9
 
+    /** Wall-ratio efficiency over the paired reps so far (best-of per
+      * level), None until one rep completed — the rep loop uses this to
+      * decide whether the block would ship weather-contaminated and a
+      * retry rep is worth the budget.
+      */
+    def effWallNow: Option[Double] = {
+      import scala.jdk.CollectionConverters._
+      val rN = runsN.asScala.toSeq
+      val r4N = runs4N.asScala.toSeq
+      if (rN.isEmpty || r4N.isEmpty) None
+      else Some(r4N.map(_._1).max / ((cores4N.toDouble / coresN) * rN.map(_._1).max))
+    }
+
     def emit(): Unit = if (printed.compareAndSet(false, true)) {
       Option(liveChild).foreach { p => p.destroyForcibly(); () }
       import scala.jdk.CollectionConverters._
@@ -159,7 +172,8 @@ object Bench {
     * child failure (the child is destroyed — never left to eat the budget).
     */
   private def tputInChildJvm(cores: Int, scratch: String,
-      timeoutSec: Double, passBudgetSec: Double): Option[(Double, Double, Seq[Double])] = {
+      timeoutSec: Double, passBudgetSec: Double,
+      fracPct: Int = 100): Option[(Double, Double, Seq[Double])] = {
     if (timeoutSec <= 0) return None
     // once the shutdown hook has emitted, the process is dying — launching
     // (or keeping) a child past that point orphans a 24g Spark JVM
@@ -169,7 +183,7 @@ object Bench {
     val cmd = Seq(javaBin) ++ addOpens ++ Seq(
       "-Xmx24g", "-Dspark.ui.enabled=false", "-cp", cp,
       "graft.Bench", "tput", cores.toString, scratch,
-      f"$passBudgetSec%.0f")
+      f"$passBudgetSec%.0f", fracPct.toString)
     // child stderr (Spark logs) inherits ours — buffering it would deadlock
     val p = new ProcessBuilder(cmd: _*)
       .redirectError(ProcessBuilder.Redirect.INHERIT).start()
@@ -217,7 +231,8 @@ object Bench {
     * is the steal-immune scaling evidence (it still honestly degrades
     * under real contention — memory-stall cycles DO count).
     */
-  private def tputMain(cores: Int, scratch: String, passBudgetSec: Double): Unit = {
+  private def tputMain(cores: Int, scratch: String, passBudgetSec: Double,
+      fracPct: Int): Unit = {
     val s = session(cores)
     val cpuNs = new java.util.concurrent.atomic.AtomicLong
     s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -225,7 +240,13 @@ object Bench {
         if (e.taskMetrics != null) { cpuNs.addAndGet(e.taskMetrics.executorCpuTime); () }
     })
     val t0 = System.nanoTime()
-    val cached = s.read.parquet(scratch)
+    // fracPct < 100: a weather-retry rep measures a deterministic subset —
+    // same per-doc work, a fraction of the pass time, so a calm rep still
+    // fits a nearly-spent budget (docs/s stays comparable; fixed costs
+    // amortize slightly worse, which only understates the short rep)
+    val full = s.read.parquet(scratch)
+    val cached = (if (fracPct >= 100) full
+                  else full.sample(withReplacement = false, fracPct / 100.0, seed = 11))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = cached.count() // materialize the cache
     System.err.println(f"[bench] child cores=$cores: cached $nDocs docs in ${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -278,8 +299,10 @@ object Bench {
     // the f interpolator is locale-sensitive: a comma-decimal default
     // locale would corrupt both the TPUT wire line and the JSON itself
     java.util.Locale.setDefault(java.util.Locale.ROOT)
-    if (args.length == 4 && args(0) == "tput") {
-      tputMain(args(1).toInt, args(2), args(3).toDouble); return
+    if (args.length >= 4 && args(0) == "tput") {
+      tputMain(args(1).toInt, args(2), args(3).toDouble,
+        if (args.length > 4) args(4).toInt else 100)
+      return
     }
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -384,25 +407,47 @@ object Bench {
       // minus a reserve as its hard timeout
       var i = 0
       var stop = false
-      while (i < maxReps && !stop) {
-        // fixed floor, NOT a last-rep extrapolation: after one storm rep
-        // (~580 s) the old 1.2x-last gate refused a calm rep that costs
-        // ~150 s — exactly the rep that would have fixed the weather-skew
-        // ratio. Children self-limit (shrinking pass budget + hard
-        // timeout), so an attempt can never overrun the budget.
-        if (remaining < 300) {
-          System.err.println(f"[bench] budget: skipping scaling rep ${i + 1} (${remaining}%.0f s left)")
+      val repCosts = scala.collection.mutable.ArrayBuffer.empty[Double]
+      // launch gate: before any rep completes, the conservative 300 s
+      // floor; after one, the MEASURED cheapest rep + reserve (ADVICE r03:
+      // the fixed floor shed a calm ~150 s rep with 279 s of budget left —
+      // exactly the rep that would have fixed a storm-skewed ratio).
+      // Children still self-limit (shrinking pass budget + hard timeout),
+      // so an optimistic launch can never overrun the budget.
+      def repGate(frac: Int): Double =
+        if (repCosts.isEmpty) 300.0
+        else math.min(300.0, repCosts.min * frac / 100.0 + 60.0)
+      // current best-of ratio is weather-skewed -> the block would ship
+      // with a weather_note; worth extra reps (full or reduced) to catch
+      // one calm sample per level
+      def weatherSkewed: Boolean =
+        State.effWallNow.exists(e => e > 1.3 || e < 0.5)
+      val maxExtraReps = 3
+      var extra = 0
+      while (!stop &&
+          (i < maxReps || (weatherSkewed && extra < maxExtraReps))) {
+        // a weather-retry rep past maxReps shrinks the corpus to fit the
+        // leftover budget: 100% if it fits, else 50%, else 25%
+        val frac =
+          if (i < maxReps) 100
+          else Seq(100, 50, 25).find(f => remaining > repGate(f)).getOrElse(25)
+        if (remaining < repGate(frac)) {
+          System.err.println(f"[bench] budget: skipping scaling rep ${i + 1} (${remaining}%.0f s left, gate ${repGate(frac)}%.0f s)")
           stop = true
         } else {
+          if (i >= maxReps) {
+            extra += 1
+            System.err.println(f"[bench] weather retry ${extra}: best-of ratio still skewed (${State.effWallNow.getOrElse(-1.0)}%.3f), rep at $frac%%")
+          }
           val repT0 = State.elapsed
           // soft per-child pass budget: calm children finish in well under
           // it (8-pass cap); storm children stop sampling in time for the
           // OTHER level to run. The hard kill-cap stays as backstop.
           def passBudget = math.min(240.0, (remaining - 90) / 2)
-          tputInChildJvm(coresN, scratch, remaining - 45, passBudget) match {
+          tputInChildJvm(coresN, scratch, remaining - 45, passBudget, frac) match {
             case None => stop = true
             case Some((nW, nC, nP)) =>
-              tputInChildJvm(cores4N, scratch, remaining - 45, passBudget) match {
+              tputInChildJvm(cores4N, scratch, remaining - 45, passBudget, frac) match {
                 case None => stop = true // unpaired N run discarded (fair best-of)
                 case Some((n4W, n4C, n4P)) =>
                   State.runsN.add((nW, nC))
@@ -410,8 +455,9 @@ object Bench {
                   State.passSecsN.add(nP)
                   State.passSecs4N.add(n4P)
                   val repSec = State.elapsed - repT0
+                  repCosts += repSec
                   i += 1
-                  System.err.println(f"[bench] rep $i: tN=($nW,$nC) t4N=($n4W,$n4C) (${repSec}%.0f s)")
+                  System.err.println(f"[bench] rep $i (frac $frac%%): tN=($nW,$nC) t4N=($n4W,$n4C) (${repSec}%.0f s)")
               }
           }
         }
