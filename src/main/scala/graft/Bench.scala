@@ -89,6 +89,10 @@ object Bench {
     // per-rep lists of every pass's wall seconds (weather transparency)
     val passSecsN = new java.util.concurrent.CopyOnWriteArrayList[Seq[Double]]()
     val passSecs4N = new java.util.concurrent.CopyOnWriteArrayList[Seq[Double]]()
+    // corpus fraction (percent) each paired rep measured — a weather-retry
+    // rep may run reduced; the artifact must say so or its 40 s passes
+    // read as an extreme calm window instead of a quarter-size corpus
+    val repFracs = new java.util.concurrent.CopyOnWriteArrayList[Int]()
     // the in-flight scaling child, if any — the shutdown hook must kill it,
     // or a driver-timeout SIGTERM orphans a 24g Spark JVM that keeps
     // extracting and contaminates whatever runs next
@@ -96,10 +100,19 @@ object Bench {
 
     def elapsed: Double = (System.nanoTime() - startNanos) / 1e9
 
+    // ONE definition of "this ratio sampled different steal weather" —
+    // shared by the weather_note in the artifact and the retry loop (two
+    // copies would let the retry trigger drift from what the artifact
+    // flags)
+    val EffSaneLo = 0.5
+    val EffSaneHi = 1.3
+    def effSkewed(e: Double): Boolean = e > EffSaneHi || e < EffSaneLo
+
     /** Wall-ratio efficiency over the paired reps so far (best-of per
       * level), None until one rep completed — the rep loop uses this to
       * decide whether the block would ship weather-contaminated and a
-      * retry rep is worth the budget.
+      * retry rep is worth the budget. Same formula as the emitted
+      * `efficiency` field.
       */
     def effWallNow: Option[Double] = {
       import scala.jdk.CollectionConverters._
@@ -132,13 +145,13 @@ object Bench {
         val ratio = cores4N.toDouble / coresN
         val effWall = t4N / (ratio * tN)
         val effCpu = c4N / (ratio * cN)
-        // an efficiency far outside [0.5, 1.3] means the two levels'
-        // best runs sampled DIFFERENT steal weather (one saw a storm the
-        // other missed — a measured single-rep artifact hit 11.5 when the
-        // N child ran entirely inside a storm); say so in the artifact
-        // instead of letting the headline stand alone
+        // an efficiency far outside [EffSaneLo, EffSaneHi] means the two
+        // levels' best runs sampled DIFFERENT steal weather (one saw a
+        // storm the other missed — a measured single-rep artifact hit 11.5
+        // when the N child ran entirely inside a storm); say so in the
+        // artifact instead of letting the headline stand alone
         val note =
-          if (effWall > 1.3 || effWall < 0.5)
+          if (effSkewed(effWall))
             s""","weather_note":"levels sampled different steal weather (${rN.size} paired rep(s)); capability ratio unreliable this run -- compare pass_secs and prior-run/BASELINE.md history""""
           else ""
         s"""{"docs":$nDocs,"cores_n":$coresN,"cores_4n":$cores4N,""" +
@@ -148,7 +161,8 @@ object Bench {
           s""""wall_runs_n":${arr(rN.map(_._1))},"wall_runs_4n":${arr(r4N.map(_._1))},""" +
           s""""cpu_runs_n":${arr(rN.map(_._2))},"cpu_runs_4n":${arr(r4N.map(_._2))},""" +
           s""""pass_secs_n":${passSecsN.asScala.map(p => p.map(x => f"$x%.1f").mkString("[", ",", "]")).mkString("[", ",", "]")},""" +
-          s""""pass_secs_4n":${passSecs4N.asScala.map(p => p.map(x => f"$x%.1f").mkString("[", ",", "]")).mkString("[", ",", "]")}$note}"""
+          s""""pass_secs_4n":${passSecs4N.asScala.map(p => p.map(x => f"$x%.1f").mkString("[", ",", "]")).mkString("[", ",", "]")},""" +
+          s""""rep_fracs":${repFracs.asScala.mkString("[", ",", "]")}$note}"""
       }
       println(
         s"""{"metric":"total_query_sec","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"queries_timed":$timed,"queries_total":${results.size},"sf":"$sfDir","scaling":$scaling,"query_rounds":$queryRounds,"budget_sec":${f"$budgetSec%.0f"},"elapsed_sec":${f"$elapsed%.0f"}}""")
@@ -421,7 +435,7 @@ object Bench {
       // with a weather_note; worth extra reps (full or reduced) to catch
       // one calm sample per level
       def weatherSkewed: Boolean =
-        State.effWallNow.exists(e => e > 1.3 || e < 0.5)
+        State.effWallNow.exists(State.effSkewed)
       val maxExtraReps = 3
       var extra = 0
       while (!stop &&
@@ -454,8 +468,12 @@ object Bench {
                   State.runs4N.add((n4W, n4C))
                   State.passSecsN.add(nP)
                   State.passSecs4N.add(n4P)
+                  State.repFracs.add(frac)
                   val repSec = State.elapsed - repT0
-                  repCosts += repSec
+                  // normalize to FULL-corpus-equivalent cost — repGate
+                  // scales by frac, so a cheap 25% rep must not make it
+                  // think a full rep costs a quarter of reality
+                  repCosts += repSec * (100.0 / frac)
                   i += 1
                   System.err.println(f"[bench] rep $i (frac $frac%%): tN=($nW,$nC) t4N=($n4W,$n4C) (${repSec}%.0f s)")
               }

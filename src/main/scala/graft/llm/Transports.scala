@@ -123,7 +123,12 @@ sealed trait HttpLlmTransport extends LlmTransport {
       .build()
     val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
     val code = resp.statusCode()
-    if (code >= 400 && code < 500)
+    // 429 (rate limit) and 408 (request timeout) are TRANSIENT despite
+    // being 4xx: they must ride the retry/backoff path — dead-lettering a
+    // quota blip would turn it into permanent data loss, and the backoff
+    // is exactly what the rate limiter is asking for. Other 4xx = the
+    // payload itself is rejected; retrying cannot fix it.
+    if (code >= 400 && code < 500 && code != 429 && code != 408)
       throw new DeterministicLlmError(s"HTTP $code: ${resp.body().take(200)}")
     if (code >= 300)
       throw new RuntimeException(s"HTTP $code: ${resp.body().take(200)}")

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -109,12 +109,27 @@ object ExtractPipeline {
     * renames), restore it — otherwise every reader sees an empty store and
     * resume recomputes the world.
     */
-  private[graft] def recoverStore(spark: SparkSession, path: String): Unit = {
-    val fs = hadoopFs(spark, path)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val pOld = new org.apache.hadoop.fs.Path(s"${path}_old")
-    if (!fs.exists(p) && fs.exists(pOld)) { fs.rename(pOld, p); () }
-  }
+  private[graft] def recoverStore(spark: SparkSession, path: String): Unit =
+    synchronized {
+      val fs = hadoopFs(spark, path)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val pOld = new org.apache.hadoop.fs.Path(s"${path}_old")
+      if (!fs.exists(p) && fs.exists(pOld)) {
+        // The rename result is deliberately tolerated either way: a
+        // concurrent recoverer winning the race leaves the source gone
+        // (rename returns false — fine, the store is restored). The
+        // harmful interleave — the destination appearing BETWEEN the
+        // exists-check and the rename, which nests pOld INSIDE the
+        // restored store — is detected and undone here. In-JVM racers
+        // (serving layer + pipeline share a driver) are serialized by the
+        // monitor; a cross-process race against a live cleanup aborts
+        // loudly in rewriteKeeping's rename guards.
+        if (fs.rename(pOld, p)) {
+          val nested = new org.apache.hadoop.fs.Path(p, pOld.getName)
+          if (fs.exists(nested)) { fs.rename(nested, pOld); () }
+        }
+      }
+    }
 
   private def fileExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -130,6 +145,34 @@ object ExtractPipeline {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(ddl))
 
+  /** The ONE builder of `_checkpoints` rows: every status write (running
+    * claims, done commits, empty claims, 0-doc closes) projects through
+    * here, so the 12-column schema cannot drift between call sites — a
+    * divergent hand-written copy would append parquet files with a
+    * different schema that every reader then unions. `df` needs a
+    * `bucket` column; `counters` overrides the counter columns a stage
+    * actually measures (the rest stay null).
+    */
+  private def ckptRows(df: DataFrame, runId: String, stage: String,
+      status: String, startedTs: String, finishedTs: Option[String],
+      counters: Map[String, Column] = Map.empty): DataFrame = {
+    def c(name: String): Column =
+      counters.getOrElse(name, lit(null).cast("long")).as(name)
+    df.select(
+      lit(runId).as("run_id"),
+      lit(stage).as("stage"),
+      col("bucket"),
+      lit(status).as("status"),
+      c("n_docs"), c("n_spans"), c("text_chars"), c("n_images"),
+      c("n_errors"), c("n_dead_letter"),
+      lit(startedTs).cast("timestamp").as("started_ts"),
+      finishedTs.fold(lit(null).cast("timestamp"))(ts => lit(ts).cast("timestamp"))
+        .as("finished_ts"))
+  }
+
+  private def appendCkpt(rows: DataFrame, outDir: String): Unit =
+    rows.coalesce(1).write.mode(SaveMode.Append).parquet(s"$outDir/_checkpoints")
+
   /** One checkpoint row per claimed bucket, status='running' — written from
     * a driver-local list (bucket ids are 0..numBuckets-1 minus done; no
     * input scan). The stuck scan keys off these.
@@ -138,20 +181,8 @@ object ExtractPipeline {
       buckets: Seq[Int], startedTs: String, stage: String = Stage): Unit = {
     import spark.implicits._
     if (buckets.isEmpty) return
-    val rows = buckets.toDF("bucket").select(
-      lit(cfg.runId).as("run_id"),
-      lit(stage).as("stage"),
-      col("bucket"),
-      lit("running").as("status"),
-      lit(null).cast("long").as("n_docs"),
-      lit(null).cast("long").as("n_spans"),
-      lit(null).cast("long").as("text_chars"),
-      lit(null).cast("long").as("n_images"),
-      lit(null).cast("long").as("n_errors"),
-      lit(null).cast("long").as("n_dead_letter"),
-      lit(startedTs).cast("timestamp").as("started_ts"),
-      lit(null).cast("timestamp").as("finished_ts"))
-    rows.coalesce(1).write.mode(SaveMode.Append).parquet(s"${cfg.outDir}/_checkpoints")
+    appendCkpt(ckptRows(buckets.toDF("bucket"), cfg.runId, stage, "running",
+      startedTs, None), cfg.outDir)
   }
 
   /** Run (or resume) the extraction job. Only buckets without a 'done'
@@ -227,16 +258,11 @@ object ExtractPipeline {
       .cache() // consumed by the ckpt write, the empty-claim diff, and the report
 
     val finishedTs = java.time.Instant.now().toString
-    val ckpt = perBucket.select(
-      lit(cfg.runId).as("run_id"),
-      lit(Stage).as("stage"),
-      col("bucket"),
-      lit("done").as("status"),
-      col("n_docs"), col("n_spans"), col("text_chars"),
-      col("n_images"), col("n_errors"), col("n_dead_letter"),
-      lit(startedTs).cast("timestamp").as("started_ts"),
-      lit(finishedTs).cast("timestamp").as("finished_ts"))
-    ckpt.coalesce(1).write.mode(SaveMode.Append).parquet(s"${cfg.outDir}/_checkpoints")
+    appendCkpt(ckptRows(perBucket, cfg.runId, Stage, "done", startedTs,
+      Some(finishedTs),
+      counters = Seq("n_docs", "n_spans", "text_chars", "n_images",
+        "n_errors", "n_dead_letter").map(n => n -> col(n)).toMap),
+      cfg.outDir)
 
     // claimed buckets with NO data in this run's input get a terminal
     // 'empty' row (driver-local list, bounded by numBuckets): the stuck
@@ -247,16 +273,11 @@ object ExtractPipeline {
       .filterNot(done).filterNot(withData)
     if (emptyClaimed.nonEmpty) {
       import spark.implicits._
-      emptyClaimed.toDF("bucket").select(
-        lit(cfg.runId).as("run_id"),
-        lit(Stage).as("stage"),
-        col("bucket"),
-        lit("empty").as("status"),
-        lit(0L).as("n_docs"), lit(0L).as("n_spans"), lit(0L).as("text_chars"),
-        lit(0L).as("n_images"), lit(0L).as("n_errors"), lit(0L).as("n_dead_letter"),
-        lit(startedTs).cast("timestamp").as("started_ts"),
-        lit(finishedTs).cast("timestamp").as("finished_ts"))
-        .coalesce(1).write.mode(SaveMode.Append).parquet(s"${cfg.outDir}/_checkpoints")
+      appendCkpt(ckptRows(emptyClaimed.toDF("bucket"), cfg.runId, Stage,
+        "empty", startedTs, Some(finishedTs),
+        counters = Seq("n_docs", "n_spans", "text_chars", "n_images",
+          "n_errors", "n_dead_letter").map(n => n -> lit(0L)).toMap),
+        cfg.outDir)
     }
 
     val lineage = spark.range(1).select(
@@ -337,20 +358,10 @@ object ExtractPipeline {
       sum(when(col("llm_error").isNotNull, 1L).otherwise(0L)).as("n_errors"))
       .cache()
     val finishedTs = java.time.Instant.now().toString
-    perBucket.select(
-      lit(cfg.runId).as("run_id"),
-      lit(LlmStageName).as("stage"),
-      col("bucket"),
-      lit("done").as("status"),
-      col("n_docs"),
-      lit(null).cast("long").as("n_spans"),
-      lit(null).cast("long").as("text_chars"),
-      lit(null).cast("long").as("n_images"),
-      col("n_errors"),
-      lit(null).cast("long").as("n_dead_letter"),
-      lit(startedTs).cast("timestamp").as("started_ts"),
-      lit(finishedTs).cast("timestamp").as("finished_ts"))
-      .coalesce(1).write.mode(SaveMode.Append).parquet(s"${cfg.outDir}/_checkpoints")
+    appendCkpt(ckptRows(perBucket, cfg.runId, LlmStageName, "done",
+      startedTs, Some(finishedTs),
+      counters = Map("n_docs" -> col("n_docs"), "n_errors" -> col("n_errors"))),
+      cfg.outDir)
 
     // claimed buckets that produced NO output rows (e.g. every row dropped
     // for a null doc_id) still need a terminal checkpoint: unlike the
@@ -363,20 +374,10 @@ object ExtractPipeline {
     val emptyClaimed = todo.filterNot(withData)
     if (emptyClaimed.nonEmpty) {
       import spark.implicits._
-      emptyClaimed.toDF("bucket").select(
-        lit(cfg.runId).as("run_id"),
-        lit(LlmStageName).as("stage"),
-        col("bucket"),
-        lit("done").as("status"),
-        lit(0L).as("n_docs"),
-        lit(null).cast("long").as("n_spans"),
-        lit(null).cast("long").as("text_chars"),
-        lit(null).cast("long").as("n_images"),
-        lit(0L).as("n_errors"),
-        lit(null).cast("long").as("n_dead_letter"),
-        lit(startedTs).cast("timestamp").as("started_ts"),
-        lit(finishedTs).cast("timestamp").as("finished_ts"))
-        .coalesce(1).write.mode(SaveMode.Append).parquet(s"${cfg.outDir}/_checkpoints")
+      appendCkpt(ckptRows(emptyClaimed.toDF("bucket"), cfg.runId,
+        LlmStageName, "done", startedTs, Some(finishedTs),
+        counters = Map("n_docs" -> lit(0L), "n_errors" -> lit(0L))),
+        cfg.outDir)
     }
 
     val ran = perBucket.agg(
@@ -426,9 +427,13 @@ object ExtractPipeline {
       spark.read.parquet(dataPath).select("bucket")
     else emptyCkptView(spark, "bucket INT"))
       .groupBy("bucket").agg(count(lit(1)).as("data_docs"))
+    // a 0-doc 'done' bucket legitimately has NO data partition (the llm
+    // stage closes claims that produced no rows that way) — missing data
+    // counts as 0, and only a genuine count mismatch (or data with no
+    // checkpoint at all) is a violation
     ckpt.join(actual, Seq("bucket"), "full_outer")
-      .where(col("ckpt_docs").isNull || col("data_docs").isNull ||
-        col("ckpt_docs") =!= col("data_docs"))
+      .where(col("ckpt_docs").isNull ||
+        coalesce(col("data_docs"), lit(0L)) =!= col("ckpt_docs"))
   }
 
   /** Q6 analog — the stuck-doc scan (reference fix_extraction_bug.py:48-53:

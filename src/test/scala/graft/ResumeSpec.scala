@@ -302,9 +302,11 @@ class ResumeSpec extends AnyFunSuite with SparkSpec {
       .collect()
     assert(ck.length === 1)
     assert(ck(0).getAs[Long]("n_docs") === 0L)
-    // ...so the stuck scan is quiet and a rerun is a no-op instead of
-    // recomputing the bucket forever
+    // ...so the stuck scan is quiet, the invariant checker accepts the
+    // fileless 0-doc bucket (missing data partition == 0 docs), and a
+    // rerun is a no-op instead of recomputing the bucket forever
     assert(ExtractPipeline.staleCheckpoints(spark, out, -1.0, "llm").count() === 0)
+    assert(ExtractPipeline.verifyCheckpoints(spark, out, "llm").count() === 0)
     val r2 = ExtractPipeline.runLlmStage(spark,
       ExtractPipeline.Config(out, "llm-2", numBuckets = B), backoffMs = _ => 0L)
     assert(r2.docsProcessed === 0L)
