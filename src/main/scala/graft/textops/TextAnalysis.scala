@@ -25,7 +25,38 @@ object TextAnalysis {
     spark.read.parquet(s"$sfDir/documents.parquet")
 
   private def words(c: Column): Column = split(c, " ")
-  private def nonEmptyWords(c: Column): Column = filter(words(c), w => w =!= "")
+  private[textops] def nonEmptyWords(c: Column): Column = filter(words(c), w => w =!= "")
+
+  /** Argmax language guess over the stopword ratios, as one column — the
+    * langId query's verdict, reusable by composed pipelines (the composed
+    * corpus build filters on it without materializing the ratios).
+    */
+  def langGuessCol(text: Column): Column = {
+    val ws = nonEmptyWords(text)
+    val en = round(stopRatio(ws, EnStop), 6)
+    val pt = round(stopRatio(ws, PtStop), 6)
+    when(en > pt, lit("en")).when(pt > en, lit("pt")).otherwise(lit("und"))
+  }
+
+  /** The Gopher rule battery verdict as one boolean column — identical
+    * thresholds and rounding to [[gopherRules]] (shared so a composed
+    * pipeline cannot drift from the audited query).
+    */
+  def gopherKeepCol(text: Column): Column = {
+    val ws = nonEmptyWords(text)
+    val nw = size(ws).cast("double")
+    val chars = aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double")
+    val awl = round(when(nw === 0, lit(0.0)).otherwise(chars / nw), 6)
+    val nHash = (length(text) - length(replace(text, lit("#"), lit("")))).cast("double")
+    val nEll = (length(text) - length(replace(text, lit("..."), lit("")))).cast("double") / 3.0
+    val symbolRatio = when(nw === 0, lit(0.0)).otherwise(round((nHash + nEll) / nw, 6))
+    val alphaFrac = when(nw === 0, lit(0.0)).otherwise(
+      round(size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / nw, 6))
+    val nStop = size(filter(ws, w => w.isin(EnStop: _*)))
+    awl >= MeanWordLenMin && awl <= MeanWordLenMax &&
+      symbolRatio <= SymbolRatioMax && alphaFrac >= AlphaWordFracMin &&
+      nStop >= MinStopwords
+  }
 
   private def stopRatio(ws: Column, stop: Seq[String]): Column = {
     val n = size(ws)

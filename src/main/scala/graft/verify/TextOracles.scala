@@ -128,6 +128,69 @@ SELECT doc_id, shard, n_tokens, start_tok,
 FROM c ORDER BY doc_id"""
   }
 
+  /** End-to-end corpus build (mirrors [[graft.textops.Corpus.buildCorpus]]):
+    * tag (lang guess + Gopher verdict + content hash) -> exact dedup ->
+    * stratified sample on the DETECTED language -> per-shard pack. The
+    * per-stage expressions are copies of the single-op oracles above with
+    * the same constants interpolated from the Scala definitions.
+    */
+  val buildCorpus: String = {
+    import graft.textops.{Corpus, PortableHash, TextAnalysis}
+    import TextAnalysis._
+    val sampleCases = Corpus.SampleThresholds
+      .map { case (l, t) => s"WHEN lang_guess = '$l' THEN $t" }.mkString(" ")
+    val shard = s"${PortableHash.duckHexint32("'shard-' || CAST(doc_id AS VARCHAR)")} % ${Corpus.PackShards}"
+    s"""WITH w AS (
+  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+m AS (
+  SELECT doc_id, ws,
+    round(CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+      CAST(len(list_filter(ws, x -> x IN ($enStop))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) END, 6) AS en_ratio,
+    round(CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+      CAST(len(list_filter(ws, x -> x IN ($ptStop))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) END, 6) AS pt_ratio,
+    round(CASE WHEN len(ws) = 0 THEN 0.0
+      ELSE CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) END, 6) AS mean_word_len,
+    CASE WHEN len(ws) = 0 THEN 0.0
+      ELSE round((CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE)
+        + CAST(len(text) - len(replace(text, '...', '')) AS DOUBLE) / 3.0)
+        / CAST(len(ws) AS DOUBLE), 6) END AS symbol_ratio,
+    CASE WHEN len(ws) = 0 THEN 0.0
+      ELSE round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        / CAST(len(ws) AS DOUBLE), 6) END AS alpha_word_frac,
+    len(list_filter(ws, x -> x IN ($enStop))) AS n_stop,
+    ${h60("text")} AS text_hash
+  FROM w),
+q AS (
+  SELECT doc_id, ws, text_hash,
+    CASE WHEN en_ratio > pt_ratio THEN 'en'
+         WHEN pt_ratio > en_ratio THEN 'pt' ELSE 'und' END AS lang_guess,
+    (mean_word_len >= $MeanWordLenMin AND mean_word_len <= $MeanWordLenMax
+     AND symbol_ratio <= $SymbolRatioMax AND alpha_word_frac >= $AlphaWordFracMin
+     AND n_stop >= $MinStopwords) AS quality_keep
+  FROM m),
+d AS (
+  SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) > 1 AS is_duplicate FROM q),
+s AS (
+  SELECT doc_id, ws, lang_guess FROM d
+  WHERE quality_keep AND NOT is_duplicate
+    AND ${h32("'sample-' || CAST(doc_id AS VARCHAR)")} % 1000 <
+      CASE $sampleCases ELSE ${Corpus.SampleDefaultThreshold} END),
+p AS (
+  SELECT doc_id, lang_guess, $shard AS shard,
+    CAST(len(ws) AS BIGINT) AS n_tokens
+  FROM s),
+c AS (
+  SELECT doc_id, lang_guess, shard, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+  FROM p)
+SELECT doc_id, shard, n_tokens, start_tok,
+  start_tok // ${Corpus.PackCapacity} AS bin_id,
+  start_tok % ${Corpus.PackCapacity} AS offset_in_bin,
+  lang_guess
+FROM c ORDER BY doc_id"""
+  }
+
   val tokenCounts: String =
     s"""SELECT doc_id,
   len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,

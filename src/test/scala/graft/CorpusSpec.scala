@@ -68,6 +68,54 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     assert(rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap === global)
   }
 
+  test("end-to-end corpus build composes the audited single-op semantics") {
+    import org.apache.spark.sql.functions.col
+    val out = Corpus.buildCorpus(spark, sf).collect()
+    assert(out.nonEmpty)
+    val kept = out.map(_.getAs[Long]("doc_id")).toSet
+
+    // survivors are exactly: gopher-keep AND dedup-keeper AND sampled —
+    // recomputed here through the single-op queries the gate audits
+    val gopherKeep = graft.textops.TextAnalysis.gopherRules(spark, sf)
+      .where(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val dedupKeeper = graft.textops.Dedup.exact(spark, sf)
+      .where(!col("is_duplicate")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val lang = Corpus.buildCorpus(spark, sf)
+      .select("doc_id", "lang_guess").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_guess")).toMap
+    val thr = Corpus.SampleThresholds.toMap
+    kept.foreach { id =>
+      assert(gopherKeep(id), s"doc $id not gopher-keep")
+      assert(dedupKeeper(id), s"doc $id is a duplicate")
+      val t = thr.getOrElse(lang(id), Corpus.SampleDefaultThreshold)
+      val h = graft.textops.PortableHash.hexint32(s"sample-$id") % 1000
+      assert(h < t, s"doc $id above its sample threshold")
+    }
+    // detected language matches the standalone langId verdict
+    val langIdView = graft.textops.TextAnalysis.langId(spark, sf)
+      .select("doc_id", "lang_guess").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_guess")).toMap
+    lang.foreach { case (id, lg) => assert(langIdView(id) === lg) }
+
+    // packing invariants hold per shard on the surviving stream
+    val cap = Corpus.PackCapacity
+    out.groupBy(_.getAs[Long]("shard")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+      assert(sorted.head.getAs[Long]("start_tok") === 0L)
+      sorted.sliding(2).foreach {
+        case Array(p, n) =>
+          assert(n.getAs[Long]("start_tok") ===
+            p.getAs[Long]("start_tok") + p.getAs[Long]("n_tokens"))
+        case _ => ()
+      }
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("bin_id") === r.getAs[Long]("start_tok") / cap)
+      }
+    }
+    assert(docs.count() > out.length) // the filters actually filtered
+  }
+
   test("sampling and packing are invariant under input repartitioning") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -52,6 +52,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!phys.contains("SinglePartition"), s"\n$phys")
   }
 
+  test("corpus build: exactly two key-partitioned exchanges, no global funnel") {
+    val df = graft.textops.Corpus.buildCorpusCore(
+      spark.read.parquet(s"$sf/documents.parquet"))
+    val phys = df.queryExecution.executedPlan.toString
+    assert(count(phys, "hashpartitioning(text_hash") === 1, s"\n$phys")
+    assert(count(phys, "hashpartitioning(shard") === 1, s"\n$phys")
+    assert(!phys.contains("SinglePartition"), s"\n$phys")
+    assert(!phys.contains("rangepartitioning"), s"\n$phys")
+  }
+
   test("flagship extraction plan has no shuffle and a pruned scan") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-planshape").toString
     graft.synth.SpanSynth.docsInput(spark, sf).write.mode("overwrite")
