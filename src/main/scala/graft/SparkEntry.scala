@@ -69,6 +69,7 @@ object SparkEntry {
     "corpus_sample" -> ((s, dir) => graft.textops.Corpus.sampleStratified(s, dir)),
     "corpus_pack" -> ((s, dir) => graft.textops.Corpus.packSequences(s, dir)),
     "corpus_pack_sharded" -> ((s, dir) => graft.textops.Corpus.packSequencesSharded(s, dir)),
+    "corpus_pack_shuffled" -> ((s, dir) => graft.textops.Corpus.packSequencesShuffled(s, dir)),
     // the composed end-to-end corpus build: tag -> dedup -> sample -> pack
     "corpus_build" -> ((s, dir) => graft.textops.Corpus.buildCorpus(s, dir)),
     // multimodal plumbing (stubbed decode, real schema/batching)
@@ -127,6 +128,7 @@ SELECT doc_id, kind, text, media_ref, "offset" FROM synth ORDER BY doc_id, "offs
     "corpus_sample" -> graft.verify.TextOracles.sampleStratified,
     "corpus_pack" -> graft.verify.TextOracles.packSequences,
     "corpus_pack_sharded" -> graft.verify.TextOracles.packSequencesSharded,
+    "corpus_pack_shuffled" -> graft.verify.TextOracles.packSequencesShuffled,
     "corpus_build" -> graft.verify.TextOracles.buildCorpus,
     "media_features" -> graft.verify.TextOracles.mediaFeatures,
     "media_decode" -> graft.verify.TextOracles.mediaDecode,

@@ -114,6 +114,33 @@ object Corpus {
     packSequencesBy(spark.read.parquet(s"$sfDir/documents.parquet"), packShard(col("doc_id")))
       .orderBy("doc_id")
 
+  /** Sequence packing in deterministically SHUFFLED order — the order a
+    * pretraining run actually wants (neighboring crawl docs are
+    * correlated; packing in doc_id order would put near-duplicates in
+    * the same context window). The shuffle is a portable hash
+    * (`h60("shuf-" || doc_id)`), so it is a true global random
+    * permutation yet bit-reproducible under resume/retry — re-running
+    * the job packs the identical stream, unlike an RNG shuffle. Same
+    * per-shard window shape as [[packSequencesBy]] (hashpartitioning,
+    * shard-local sort on the shuffle key, no SinglePartition).
+    */
+  def packSequencesShuffled(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val toks = size(filter(split(d("text"), " "), w => w =!= "")).cast("long")
+    val w = Window.partitionBy("shard").orderBy("shuf_key", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.select(d("doc_id"), packShard(d("doc_id")).as("shard"),
+        PortableHash.hexint60(concat(lit("shuf-"), d("doc_id").cast("string")))
+          .as("shuf_key"),
+        toks.as("n_tokens"))
+      .withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("shuf_key"), col("n_tokens"),
+        col("start_tok"),
+        expr(s"start_tok DIV $PackCapacity").as("bin_id"),
+        pmod(col("start_tok"), lit(PackCapacity.toLong)).as("offset_in_bin"))
+      .orderBy("doc_id")
+  }
+
   /** The END-TO-END corpus build — what a user actually runs to turn a
     * raw crawl into a training mix, composed from the audited single-op
     * column definitions (no logic forks):

@@ -128,6 +128,28 @@ SELECT doc_id, shard, n_tokens, start_tok,
 FROM c ORDER BY doc_id"""
   }
 
+  /** Shuffled packing (mirrors [[graft.textops.Corpus.packSequencesShuffled]]). */
+  val packSequencesShuffled: String = {
+    import graft.textops.{Corpus, PortableHash}
+    val shard = s"${PortableHash.duckHexint32("'shard-' || CAST(doc_id AS VARCHAR)")} % ${Corpus.PackShards}"
+    val shuf = PortableHash.duckHexint60("'shuf-' || CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (
+  SELECT doc_id,
+    $shard AS shard,
+    $shuf AS shuf_key,
+    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, shard, shuf_key, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY shuf_key, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+  FROM t)
+SELECT doc_id, shard, shuf_key, n_tokens, start_tok,
+  start_tok // ${Corpus.PackCapacity} AS bin_id,
+  start_tok % ${Corpus.PackCapacity} AS offset_in_bin
+FROM c ORDER BY doc_id"""
+  }
+
   /** End-to-end corpus build (mirrors [[graft.textops.Corpus.buildCorpus]]):
     * tag (lang guess + Gopher verdict + content hash) -> exact dedup ->
     * stratified sample on the DETECTED language -> per-shard pack. The

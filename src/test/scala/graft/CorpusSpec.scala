@@ -68,6 +68,34 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     assert(rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap === global)
   }
 
+  test("shuffled packing permutes within shards but keeps the chunking exact") {
+    val rows = Corpus.packSequencesShuffled(spark, sf).collect()
+    val cap = Corpus.PackCapacity
+    rows.groupBy(_.getAs[Long]("shard")).values.foreach { rs =>
+      // chain in SHUFFLE order, not doc order
+      val sorted = rs.sortBy(r => (r.getAs[Long]("shuf_key"), r.getAs[Long]("doc_id")))
+      assert(sorted.head.getAs[Long]("start_tok") === 0L)
+      sorted.sliding(2).foreach {
+        case Array(p, n) =>
+          assert(n.getAs[Long]("start_tok") ===
+            p.getAs[Long]("start_tok") + p.getAs[Long]("n_tokens"))
+        case _ => ()
+      }
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("bin_id") === r.getAs[Long]("start_tok") / cap)
+      }
+      // the permutation is real: shuffle order differs from doc_id order
+      if (rs.length > 3)
+        assert(sorted.map(_.getAs[Long]("doc_id")).toSeq !==
+          sorted.map(_.getAs[Long]("doc_id")).sorted.toSeq)
+    }
+    // same docs and token counts as unshuffled sharded packing
+    val sharded = Corpus.packSequencesSharded(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    assert(rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+      === sharded)
+  }
+
   test("end-to-end corpus build composes the audited single-op semantics") {
     import org.apache.spark.sql.functions.col
     val out = Corpus.buildCorpus(spark, sf).collect()
