@@ -311,7 +311,10 @@ object ExtractPipeline {
     */
   def runLlmStage(spark: SparkSession, cfg: Config,
       model: String = graft.llm.LlmStage.DefaultModel,
-      transport: graft.llm.LlmStage.LlmTransport = graft.llm.LlmStage.EchoTransport(),
+      // deployment entry point: the transport comes from the
+      // GRAFT_LLM_TRANSPORT env gate (echo unless a deployment opts in —
+      // driver queries keep an explicit EchoTransport for the oracle)
+      transport: graft.llm.LlmStage.LlmTransport = graft.llm.LlmStage.transportFromEnv(),
       maxRetries: Int = graft.llm.LlmStage.MaxRetries,
       backoffMs: Int => Long = graft.llm.LlmStage.referenceBackoffMs): RunReport = {
     import graft.llm.LlmStage

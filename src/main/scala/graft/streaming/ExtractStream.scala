@@ -1,9 +1,8 @@
 package graft.streaming
 
 import graft.extract.Extractor
-import graft.model.Schemas
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Structured Streaming wrapper around the extraction kernel. The
   * reference's Celery queue is an asynchrony mechanism, not event-time
@@ -22,16 +21,7 @@ object ExtractStream {
     * backfill-catchup); false = continuous micro-batches.
     */
   def start(spark: SparkSession, inDir: String, outDir: String,
-      checkpointDir: String, availableNow: Boolean = false): StreamingQuery = {
-    val in = spark.readStream
-      .schema(Schemas.doc)
-      .option("maxFilesPerTrigger", "64")
-      .parquet(inDir)
-    val writer = Extractor.extract(in).writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .outputMode("append")
-    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
-  }
+      checkpointDir: String, availableNow: Boolean = false): StreamingQuery =
+    StreamIo.startParquetSink(Extractor.extract(StreamIo.docSource(spark, inDir)),
+      outDir, checkpointDir, availableNow)
 }

@@ -1,10 +1,9 @@
 package graft.streaming
 
 import graft.llm.LlmStage
-import graft.model.Schemas
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Structured Streaming form of the P2/P3 stage — the continuous tail of
   * [[graft.pipeline.ExtractPipeline.runLlmStage]]: extracted span docs
@@ -32,17 +31,15 @@ object LlmStream {
   def start(spark: SparkSession, inDir: String, outDir: String,
       checkpointDir: String,
       model: String = LlmStage.DefaultModel,
-      transport: LlmStage.LlmTransport = LlmStage.EchoTransport(),
+      // deployment entry point — env-gated like runLlmStage (echo default)
+      transport: LlmStage.LlmTransport = LlmStage.transportFromEnv(),
       maxRetries: Int = LlmStage.MaxRetries,
       backoffMs: Int => Long = LlmStage.referenceBackoffMs,
       availableNow: Boolean = false): StreamingQuery = {
     require(transport.live(),
       s"LLM transport for model '$model' failed the liveness probe — " +
         "refusing to start the stream")
-    val in = spark.readStream
-      .schema(Schemas.doc)
-      .option("maxFilesPerTrigger", "64")
-      .parquet(inDir)
+    val in = StreamIo.docSource(spark, inDir)
     val prompts = in.select(
       col("doc_id"), LlmStage.promptFromSpans(col("spans")).as("full_prompt"))
     // probeLiveness=false: probed once above at stream start — generate
@@ -50,11 +47,6 @@ object LlmStream {
     val replied = LlmStage.generate(prompts, model, transport,
         maxRetries, backoffMs, probeLiveness = false)
       .withColumn("formatted_response", LlmStage.formattedCol(col("llm_response")))
-    val writer = replied.writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .outputMode("append")
-    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+    StreamIo.startParquetSink(replied, outDir, checkpointDir, availableNow)
   }
 }

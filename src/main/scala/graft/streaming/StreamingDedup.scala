@@ -1,10 +1,9 @@
 package graft.streaming
 
-import graft.model.Schemas
 import graft.textops.PortableHash
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Streaming exact dedup with keyed state — the continuous-ingest twin of
   * [[graft.textops.Dedup.exact]]: documents arrive in micro-batches, and a
@@ -80,16 +79,7 @@ object StreamingDedup {
     * restarts.
     */
   def start(spark: SparkSession, inDir: String, outDir: String,
-      checkpointDir: String, availableNow: Boolean = false): StreamingQuery = {
-    val in = spark.readStream
-      .schema(Schemas.doc)
-      .option("maxFilesPerTrigger", "64")
-      .parquet(inDir)
-    val writer = dedupStream(in).writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpointDir)
-      .outputMode("append")
-    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
-  }
+      checkpointDir: String, availableNow: Boolean = false): StreamingQuery =
+    StreamIo.startParquetSink(dedupStream(StreamIo.docSource(spark, inDir)),
+      outDir, checkpointDir, availableNow)
 }

@@ -93,10 +93,20 @@ object Corpus {
     * `df` needs `doc_id` and `text`; `shard` is any deterministic
     * grouping column expression (see [[packShard]]).
     */
+  /** @param carry     extra columns to keep on the output rows
+    * @param orderCols  shard-local packing order (must name selected
+    *                   columns, i.e. doc_id or members of `carry`)
+    * @param tokens     precomputed token-count column — pass it when the
+    *                   caller already projected one (so `text` need not
+    *                   survive to this stage); default recounts from `text`
+    */
   def packSequencesBy(df: DataFrame, shard: Column,
-      carry: Seq[String] = Nil): DataFrame = {
-    val toks = size(filter(split(col("text"), " "), w => w =!= "")).cast("long")
-    val w = Window.partitionBy("shard").orderBy("doc_id")
+      carry: Seq[String] = Nil,
+      orderCols: Seq[String] = Seq("doc_id"),
+      tokens: Option[Column] = None): DataFrame = {
+    val toks = tokens.getOrElse(
+      size(filter(split(col("text"), " "), w => w =!= "")).cast("long"))
+    val w = Window.partitionBy("shard").orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     df.select(col("doc_id") +: shard.as("shard") +: toks.as("n_tokens") +:
         carry.map(col): _*)
@@ -126,18 +136,11 @@ object Corpus {
     */
   def packSequencesShuffled(spark: SparkSession, sfDir: String): DataFrame = {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
-    val toks = size(filter(split(d("text"), " "), w => w =!= "")).cast("long")
-    val w = Window.partitionBy("shard").orderBy("shuf_key", "doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    d.select(d("doc_id"), packShard(d("doc_id")).as("shard"),
-        PortableHash.hexint60(concat(lit("shuf-"), d("doc_id").cast("string")))
-          .as("shuf_key"),
-        toks.as("n_tokens"))
-      .withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))
-      .select(col("doc_id"), col("shard"), col("shuf_key"), col("n_tokens"),
-        col("start_tok"),
-        expr(s"start_tok DIV $PackCapacity").as("bin_id"),
-        pmod(col("start_tok"), lit(PackCapacity.toLong)).as("offset_in_bin"))
+    val tagged = d.select(d("doc_id"), d("text"),
+      PortableHash.hexint60(concat(lit("shuf-"), d("doc_id").cast("string")))
+        .as("shuf_key"))
+    packSequencesBy(tagged, packShard(col("doc_id")),
+      carry = Seq("shuf_key"), orderCols = Seq("shuf_key", "doc_id"))
       .orderBy("doc_id")
   }
 
@@ -169,8 +172,13 @@ object Corpus {
     * (two key-partitioned exchanges, nothing else).
     */
   def buildCorpusCore(d: DataFrame): DataFrame = {
+    // n_tokens is computed HERE, in the one projection off the scan, so
+    // the document text itself never enters a shuffle: the dedup exchange
+    // and both window sorts below carry only fixed-width columns (at
+    // 100 TB the text payload would dominate the first shuffle otherwise)
     val tagged = d.select(
-      d("doc_id"), d("text"),
+      d("doc_id"),
+      size(TextAnalysis.nonEmptyWords(d("text"))).cast("long").as("n_tokens"),
       TextAnalysis.langGuessCol(d("text")).as("lang_guess"),
       TextAnalysis.gopherKeepCol(d("text")).as("quality_keep"),
       PortableHash.hexint60(d("text")).as("text_hash"))
@@ -185,6 +193,7 @@ object Corpus {
     val sampled = survivors.where(
       pmod(PortableHash.hexint32(concat(lit("sample-"), col("doc_id").cast("string"))),
         lit(1000L)) < threshold)
-    packSequencesBy(sampled, packShard(col("doc_id")), carry = Seq("lang_guess"))
+    packSequencesBy(sampled, packShard(col("doc_id")), carry = Seq("lang_guess"),
+      tokens = Some(col("n_tokens")))
   }
 }

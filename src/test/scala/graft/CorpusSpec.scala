@@ -109,8 +109,7 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     val dedupKeeper = graft.textops.Dedup.exact(spark, sf)
       .where(!col("is_duplicate")).select("doc_id").collect().map(_.getLong(0)).toSet
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val lang = Corpus.buildCorpus(spark, sf)
-      .select("doc_id", "lang_guess").collect()
+    val lang = out
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_guess")).toMap
     val thr = Corpus.SampleThresholds.toMap
     kept.foreach { id =>

@@ -29,7 +29,10 @@ class LlmStreamSpec extends AnyFunSuite with SparkSpec {
 
     // extracted files arrive; stream the LLM stage over them
     Extractor.extract(batch1).write.mode("append").parquet(in)
+    // transport pinned explicitly: the default is env-gated
+    // (GRAFT_LLM_TRANSPORT) and a test must not inherit ambient config
     LlmStream.start(spark, in, out, ckpt,
+      transport = LlmStage.EchoTransport(),
       backoffMs = _ => 0L, availableNow = true).awaitTermination()
 
     def sinkRows() = spark.read.parquet(out)
@@ -51,6 +54,7 @@ class LlmStreamSpec extends AnyFunSuite with SparkSpec {
     // new extracted files arrive; a fresh AvailableNow run drains ONLY them
     Extractor.extract(batch2).write.mode("append").parquet(in)
     LlmStream.start(spark, in, out, ckpt,
+      transport = LlmStage.EchoTransport(),
       backoffMs = _ => 0L, availableNow = true).awaitTermination()
     assert(sinkRows() === batchRows(docs))
     docs.unpersist()

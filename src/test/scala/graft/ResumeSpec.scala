@@ -222,7 +222,7 @@ class ResumeSpec extends AnyFunSuite with SparkSpec {
 
     val r1 = ExtractPipeline.runLlmStage(spark,
       ExtractPipeline.Config(out, "llm-1", numBuckets = B),
-      backoffMs = _ => 0L)
+      transport = graft.llm.LlmStage.EchoTransport(), backoffMs = _ => 0L)
     assert(r1.bucketsDone === 0)
     assert(r1.docsProcessed === input.count())
 
@@ -234,7 +234,7 @@ class ResumeSpec extends AnyFunSuite with SparkSpec {
 
     // rerun is a no-op (all buckets llm-done)
     val r2 = ExtractPipeline.runLlmStage(spark,
-      ExtractPipeline.Config(out, "llm-2", numBuckets = B), backoffMs = _ => 0L)
+      ExtractPipeline.Config(out, "llm-2", numBuckets = B), transport = graft.llm.LlmStage.EchoTransport(), backoffMs = _ => 0L)
     assert(r2.docsProcessed === 0L)
 
     // simulate a crash: drop one bucket's llm checkpoint rows -> resume
@@ -254,7 +254,7 @@ class ResumeSpec extends AnyFunSuite with SparkSpec {
     assert(ExtractPipeline.verifyCheckpoints(spark, out, "llm")
       .select("bucket").collect().map(_.getInt(0)).toSeq === Seq(1))
     val r3 = ExtractPipeline.runLlmStage(spark,
-      ExtractPipeline.Config(out, "llm-3", numBuckets = B), backoffMs = _ => 0L)
+      ExtractPipeline.Config(out, "llm-3", numBuckets = B), transport = graft.llm.LlmStage.EchoTransport(), backoffMs = _ => 0L)
     assert(r3.bucketsRun === 1)
     // ...and is clean after it; extract-stage view stays healthy too
     assert(ExtractPipeline.verifyCheckpoints(spark, out, "llm").count() === 0)
@@ -293,7 +293,7 @@ class ResumeSpec extends AnyFunSuite with SparkSpec {
     poisoned.write.mode("overwrite").partitionBy("bucket").parquet(s"$out/data")
 
     val r1 = ExtractPipeline.runLlmStage(spark,
-      ExtractPipeline.Config(out, "llm-1", numBuckets = B), backoffMs = _ => 0L)
+      ExtractPipeline.Config(out, "llm-1", numBuckets = B), transport = graft.llm.LlmStage.EchoTransport(), backoffMs = _ => 0L)
     assert(r1.bucketsRun === B - 1) // bucket 1 produced no output rows
 
     // bucket 1 still got a TERMINAL 0-doc done row...
@@ -308,7 +308,7 @@ class ResumeSpec extends AnyFunSuite with SparkSpec {
     assert(ExtractPipeline.staleCheckpoints(spark, out, -1.0, "llm").count() === 0)
     assert(ExtractPipeline.verifyCheckpoints(spark, out, "llm").count() === 0)
     val r2 = ExtractPipeline.runLlmStage(spark,
-      ExtractPipeline.Config(out, "llm-2", numBuckets = B), backoffMs = _ => 0L)
+      ExtractPipeline.Config(out, "llm-2", numBuckets = B), transport = graft.llm.LlmStage.EchoTransport(), backoffMs = _ => 0L)
     assert(r2.docsProcessed === 0L)
     assert(r2.bucketsRun === 0)
   }
