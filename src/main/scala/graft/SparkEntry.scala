@@ -49,6 +49,7 @@ object SparkEntry {
     "catalog_models" -> ((s, dir) => graft.serve.Catalog.generateContentModels(s, dir)),
     // training-data ops: dedup family
     "dedup_exact" -> ((s, dir) => graft.textops.Dedup.exact(s, dir)),
+    "dedup_clusters" -> ((s, dir) => graft.textops.Dedup.nearDupClusters(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => graft.textops.Dedup.ngramJaccard(s, dir)),
     "dedup_minhash_lsh" -> ((s, dir) => graft.textops.Dedup.minhashLsh(s, dir)),
     "dedup_simhash" -> ((s, dir) => graft.textops.Dedup.simhashFingerprints(s, dir)),
@@ -111,6 +112,7 @@ SELECT doc_id, kind, text, media_ref, "offset" FROM synth ORDER BY doc_id, "offs
       graft.serve.Queries.OversizeCapChars),
     "catalog_models" -> graft.verify.TextOracles.catalogModels,
     "dedup_exact" -> graft.verify.TextOracles.dedupExact,
+    "dedup_clusters" -> graft.verify.TextOracles.nearDupClusters,
     "dedup_ngram_jaccard" -> graft.verify.TextOracles.ngramJaccard,
     "dedup_minhash_lsh" -> graft.verify.TextOracles.minhashLsh,
     "dedup_simhash" -> graft.verify.TextOracles.simhash,

@@ -221,6 +221,55 @@ object Dedup {
     * 15-bit bands keep bucket sizes small even on clustered corpora —
     * 8-bit bands measured 25x slower here from candidate blow-up.
     */
+  /** Near-dup CLUSTERING — the step between pair detection and corpus
+    * pruning: connected components over the verified MinHash+LSH pairs,
+    * labeled by minimum doc_id, keeper = the minimum itself. A real
+    * dedup pass drops `NOT is_keeper` rows; emitting the whole labeling
+    * keeps the decision auditable (which doc survived and why).
+    *
+    * Distributed shape: iterative min-label propagation — each round is
+    * ONE hash-partitioned join (labels onto edge endpoints) + ONE
+    * aggregate (min label per node), driver-checked for fixpoint; rounds
+    * = cluster diameter. Near-dup clusters are overwhelmingly tiny
+    * (pairs/triangles — diameter ≤ 2-3), so this converges in 2-4
+    * shuffles at any corpus size; a pathological chain-shaped graph
+    * would call for the large-star/small-star variant (O(log n) rounds),
+    * which this loop structure accommodates without changing the
+    * dataflow contract. Labels persist per round and unpersist after the
+    * next round materializes — bounded memory, no lineage blowup
+    * (checkpointing would replace persist at true scale).
+    */
+  def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir).select("id_a", "id_b")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      rounds += 1
+      require(rounds <= 50, "nearDupClusters: no fixpoint after 50 rounds")
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy("node").agg(min("label").as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = labels.join(next, Seq("node"))
+        .where(labels("label") =!= next("label")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        (col("node") === col("label")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     // both self-join sides read the fingerprints — memoized-persist so the
     // native simhash pass runs once per doc

@@ -128,6 +128,27 @@ SELECT doc_id, shard, n_tokens, start_tok,
 FROM c ORDER BY doc_id"""
   }
 
+  /** Near-dup clustering (mirrors [[graft.textops.Dedup.nearDupClusters]]):
+    * connected components over the MinHash+LSH verified pairs via a
+    * recursive transitive-closure CTE (fine at oracle scale; the Spark
+    * side uses distributed label propagation), cluster label = min
+    * reachable doc_id.
+    */
+  lazy val nearDupClusters: String = // lazy: embeds minhashLsh, defined below
+    s"""WITH RECURSIVE p AS ($minhashLsh),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM p),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+SELECT src AS doc_id,
+  least(src, min(dst)) AS cluster_id,
+  src = least(src, min(dst)) AS is_keeper
+FROM reach GROUP BY src ORDER BY doc_id"""
+
   /** Shuffled packing (mirrors [[graft.textops.Corpus.packSequencesShuffled]]). */
   val packSequencesShuffled: String = {
     import graft.textops.{Corpus, PortableHash}
