@@ -221,55 +221,6 @@ object Dedup {
     * 15-bit bands keep bucket sizes small even on clustered corpora —
     * 8-bit bands measured 25x slower here from candidate blow-up.
     */
-  /** Near-dup CLUSTERING — the step between pair detection and corpus
-    * pruning: connected components over the verified MinHash+LSH pairs,
-    * labeled by minimum doc_id, keeper = the minimum itself. A real
-    * dedup pass drops `NOT is_keeper` rows; emitting the whole labeling
-    * keeps the decision auditable (which doc survived and why).
-    *
-    * Distributed shape: iterative min-label propagation — each round is
-    * ONE hash-partitioned join (labels onto edge endpoints) + ONE
-    * aggregate (min label per node), driver-checked for fixpoint; rounds
-    * = cluster diameter. Near-dup clusters are overwhelmingly tiny
-    * (pairs/triangles — diameter ≤ 2-3), so this converges in 2-4
-    * shuffles at any corpus size; a pathological chain-shaped graph
-    * would call for the large-star/small-star variant (O(log n) rounds),
-    * which this loop structure accommodates without changing the
-    * dataflow contract. Labels persist per round and unpersist after the
-    * next round materializes — bounded memory, no lineage blowup
-    * (checkpointing would replace persist at true scale).
-    */
-  def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = minhashLsh(spark, sfDir).select("id_a", "id_b")
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = edges.select(col("src").as("node")).distinct()
-    var labels = nodes.select(col("node"), col("node").as("label"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0) {
-      rounds += 1
-      require(rounds <= 50, "nearDupClusters: no fixpoint after 50 rounds")
-      val viaNeighbor = edges
-        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"), col("label"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy("node").agg(min("label").as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = labels.join(next, Seq("node"))
-        .where(labels("label") =!= next("label")).count()
-      labels.unpersist()
-      labels = next
-    }
-    edges.unpersist()
-    labels
-      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
-        (col("node") === col("label")).as("is_keeper"))
-      .orderBy("doc_id")
-  }
-
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     // both self-join sides read the fingerprints — memoized-persist so the
     // native simhash pass runs once per doc
@@ -288,5 +239,69 @@ object Dedup {
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
       .where(col("hamming") <= SimHashMaxHamming)
       .orderBy("id_a", "id_b")
+  }
+
+  /** Near-dup CLUSTERING — the step between pair detection and corpus
+    * pruning: connected components over the verified MinHash+LSH pairs,
+    * labeled by minimum doc_id, keeper = the minimum itself. A real
+    * dedup pass drops `NOT is_keeper` rows; emitting the whole labeling
+    * keeps the decision auditable (which doc survived and why).
+    *
+    * Distributed shape: iterative min-label propagation — each round is
+    * ONE hash-partitioned join (labels onto edge endpoints) + ONE
+    * min-aggregate per node; rounds = cluster diameter. Near-dup
+    * clusters are overwhelmingly tiny (pairs/triangles, diameter ≤ 2-3),
+    * so this converges in 2-4 shuffles at any corpus size; a
+    * pathological chain-shaped graph would call for the
+    * large-star/small-star variant (O(log n) rounds) with the same
+    * dataflow contract. Convergence is detected from sum(label) —
+    * min-updates are monotone non-increasing, so any change strictly
+    * decreases the (exact, decimal) sum — one scan of the persisted
+    * round result instead of an extra old-vs-new join per round. The
+    * final labeling memoizes in [[SessionMemo]] like every other
+    * persisted dedup stage (bench rounds reuse it; no cache-entry
+    * accumulation).
+    */
+  def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    memoized(spark, s"$sfDir#neardup-clusters")(clusterLabels(spark, sfDir))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        (col("node") === col("label")).as("is_keeper"))
+      .orderBy("doc_id")
+
+  private def clusterLabels(spark: SparkSession, sfDir: String): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = minhashLsh(spark, sfDir).select("id_a", "id_b")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(lvl)
+    // exact decimal sum: label sums fit 38 digits at any corpus size
+    // (a long sum could overflow at ~10^12 large doc_ids)
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0))
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label")).persist(lvl)
+    try {
+      var prevSum = labelSum(labels)
+      var converged = prevSum.isEmpty // empty pair graph: nothing to do
+      var rounds = 0
+      while (!converged) {
+        rounds += 1
+        require(rounds <= 50, "nearDupClusters: no fixpoint after 50 rounds")
+        val next = labels.unionByName(
+            edges.join(labels.withColumnRenamed("node", "src"), Seq("src"))
+              .select(col("dst").as("node"), col("label")))
+          .groupBy("node").agg(min("label").as("label"))
+          .persist(lvl)
+        val s = labelSum(next) // also materializes next
+        converged = s == prevSum
+        prevSum = s
+        labels.unpersist()
+        labels = next
+      }
+      labels
+    } catch {
+      case e: Throwable => labels.unpersist(); throw e
+    } finally edges.unpersist()
   }
 }
