@@ -54,11 +54,20 @@ object LlmStage {
     * time; a Spark partition holds millions of rows, and a DEAD endpoint
     * must not cost `maxRetries` sleeps on every one of them — after
     * [[CircuitBreakerAfter]] rows fail with retries exhausted, later rows
-    * get ONE sleepless attempt each (half-open: any success closes the
-    * circuit again), so a dead-endpoint partition completes in O(K)
-    * sleeps total and the rows dead-letter for the resume pass.
+    * are dead-lettered WITHOUT a transport call except a sampled probe
+    * every [[CircuitProbeEvery]]-th row (half-open: any probe success
+    * closes the circuit again). A refusing endpoint then costs O(K)
+    * sleeps per partition, and a BLACKHOLED endpoint — where even a
+    * single sleepless attempt eats the full connect timeout — costs
+    * O(rows / probeEvery) timeouts instead of O(rows); the skipped rows
+    * dead-letter for the resume pass.
     */
   val CircuitBreakerAfter = 5
+
+  /** While the circuit is open, attempt the transport only on every Kth
+    * row (the probe); the rows in between dead-letter with no call.
+    */
+  val CircuitProbeEvery = 100
 
   /** A transport failure retrying cannot fix (malformed prompt, 4xx-class
     * rejection). Dead-letters immediately — no retry, no backoff.
@@ -126,7 +135,8 @@ object LlmStage {
       maxRetries: Int = MaxRetries,
       backoffMs: Int => Long = referenceBackoffMs,
       probeLiveness: Boolean = true,
-      breakerAfter: Int = CircuitBreakerAfter): DataFrame = {
+      breakerAfter: Int = CircuitBreakerAfter,
+      probeEvery: Int = CircuitProbeEvery): DataFrame = {
     if (probeLiveness)
       require(transport.live(),
         s"LLM transport for model '$model' failed the liveness probe — " +
@@ -146,12 +156,22 @@ object LlmStage {
         val t = transport // one instance per partition (pooled-client shape)
         // partition-local circuit breaker state (see CircuitBreakerAfter)
         var consecTransientFails = 0
+        var skippedSinceProbe = 0 // open-circuit rows dead-lettered callless
         rows.map { case (id, prompt) =>
           // null prompt (null doc text) degrades to a null reply — one bad
           // row must not kill a 10^12-doc job
           if (prompt == null) (id, prompt, null: String, null: String, 0)
-          else {
+          else if (consecTransientFails >= breakerAfter &&
+              skippedSinceProbe < probeEvery - 1) {
+            // circuit open, not a probe row: dead-letter with NO transport
+            // call — a blackholed endpoint would otherwise cost a full
+            // connect timeout per row (attempts=0 marks the skip)
+            skippedSinceProbe += 1
+            (id, prompt, null: String,
+              "transient: circuit open (skipped without call)", 0)
+          } else {
             val circuitOpen = consecTransientFails >= breakerAfter
+            skippedSinceProbe = 0
             val rowRetries = if (circuitOpen) 0 else maxRetries
             var attempt = 0
             var reply: String = null

@@ -115,12 +115,13 @@ sealed trait HttpLlmTransport extends LlmTransport {
   @transient protected lazy val client: HttpClient =
     HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
 
-  protected def post(url: String, body: String): String = {
-    val req = HttpRequest.newBuilder(URI.create(url))
+  protected def post(url: String, body: String,
+      headers: Seq[(String, String)] = Nil): String = {
+    val b = HttpRequest.newBuilder(URI.create(url))
       .timeout(callTimeout)
       .header("Content-Type", "application/json")
-      .POST(HttpRequest.BodyPublishers.ofString(body))
-      .build()
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val req = b.POST(HttpRequest.BodyPublishers.ofString(body)).build()
     val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
     val code = resp.statusCode()
     // 429 (rate limit) and 408 (request timeout) are TRANSIENT despite
@@ -135,12 +136,28 @@ sealed trait HttpLlmTransport extends LlmTransport {
     resp.body()
   }
 
-  protected def getOk(url: String): Boolean =
+  protected def getOk(url: String, headers: Seq[(String, String)] = Nil): Boolean =
     try {
-      val req = HttpRequest.newBuilder(URI.create(url))
-        .timeout(Duration.ofSeconds(10)).GET().build()
-      client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode() == 200
+      val b = HttpRequest.newBuilder(URI.create(url))
+        .timeout(Duration.ofSeconds(10)).GET()
+      headers.foreach { case (k, v) => b.header(k, v) }
+      client.send(b.build(), HttpResponse.BodyHandlers.ofString()).statusCode() == 200
     } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** Pull a required string field from a reply. A malformed JSON string
+    * escape in the body (NumberFormatException from `\\uXXXX` parsing) is a
+    * DETERMINISTIC failure — the same bytes re-parse the same way, so it
+    * must dead-letter rather than ride the transient retry/backoff path
+    * (NonFatal would otherwise classify it transient).
+    */
+  protected def requiredField(json: String, key: String, what: String): String =
+    (try LlmWire.stringField(json, key) catch {
+      case e: NumberFormatException =>
+        throw new DeterministicLlmError(
+          s"malformed JSON string escape in $what reply: ${e.getMessage}")
+    }).getOrElse(
+      throw new DeterministicLlmError(s"no '$key' field in $what reply"))
+      .trim
 }
 
 /** L2 — the production Ollama transport (reference utils.py:282-316):
@@ -155,9 +172,7 @@ case class OllamaTransport(baseUrl: String = "http://localhost:11434")
     extends HttpLlmTransport {
   override def generate(model: String, prompt: String): String = {
     val body = post(s"$baseUrl/api/generate", LlmWire.ollamaPayload(model, prompt))
-    LlmWire.stringField(body, "response")
-      .getOrElse(throw new DeterministicLlmError("no 'response' field in Ollama reply"))
-      .trim
+    requiredField(body, "response", "Ollama")
   }
   override def live(): Boolean = getOk(s"$baseUrl/api/tags")
 }
@@ -174,12 +189,21 @@ case class OllamaTransport(baseUrl: String = "http://localhost:11434")
 case class GeminiTransport(apiKey: String,
     endpoint: String = "https://generativelanguage.googleapis.com/v1beta")
     extends HttpLlmTransport {
+  // the key rides in the documented x-goog-api-key HEADER, never the URL:
+  // keys in a query string land in proxy/server access logs and any
+  // exception message that echoes the request line
+  private def keyHeader: Seq[(String, String)] = Seq("x-goog-api-key" -> apiKey)
+
   override def generate(model: String, prompt: String): String = {
-    val body = post(s"$endpoint/models/$model:generateContent?key=$apiKey",
-      LlmWire.geminiPayload(prompt))
-    LlmWire.stringField(body, "text")
-      .getOrElse(throw new DeterministicLlmError("no candidate text in Gemini reply"))
-      .trim
+    val body = post(s"$endpoint/models/$model:generateContent",
+      LlmWire.geminiPayload(prompt), keyHeader)
+    // anchor the "text" search INSIDE the candidates path: a reply where a
+    // non-candidate structure (promptFeedback, citation metadata) precedes
+    // candidates must not bind the wrong field
+    val cand = body.indexOf("\"candidates\"")
+    if (cand < 0)
+      throw new DeterministicLlmError("no 'candidates' in Gemini reply")
+    requiredField(body.substring(cand), "text", "Gemini")
   }
-  override def live(): Boolean = getOk(s"$endpoint/models?key=$apiKey")
+  override def live(): Boolean = getOk(s"$endpoint/models", keyHeader)
 }

@@ -126,7 +126,13 @@ object ExtractPipeline {
         // loudly in rewriteKeeping's rename guards.
         if (fs.rename(pOld, p)) {
           val nested = new org.apache.hadoop.fs.Path(p, pOld.getName)
-          if (fs.exists(nested)) { fs.rename(nested, pOld); () }
+          // the undo rename must not fail silently: a stuck nested _old
+          // directory inside the restored store makes every reader see
+          // phantom extra files — fail loudly so the operator intervenes
+          if (fs.exists(nested) && !fs.rename(nested, pOld))
+            throw new IllegalStateException(
+              s"recoverStore: restored $path but could not move nested " +
+                s"$nested back out — readers would see phantom checkpoint rows")
         }
       }
     }

@@ -78,15 +78,54 @@ class LlmStageSpec extends AnyFunSuite with SparkSpec {
     val out = LlmStage.generate(prompts(n).coalesce(1), "m",
       LlmStageSpec.FlakyTransport(Int.MaxValue),
       maxRetries = 3, backoffMs = LlmStageSpec.countingBackoff,
-      breakerAfter = 5).collect().sortBy(_.getAs[String]("doc_id").toLong)
+      breakerAfter = 5, probeEvery = 5).collect()
+      .sortBy(_.getAs[String]("doc_id").toLong)
     assert(out.length === n) // every row survives as a dead letter
     assert(out.forall(_.getAs[String]("llm_response") == null))
-    // first 5 rows burn full retries; once the circuit opens, one
-    // sleepless attempt per row
+    // first 5 rows burn full retries; once the circuit opens, rows skip
+    // calllessly except a sleepless probe every 5th (rows 9, 14, 19)
     assert(out.take(5).forall(_.getAs[Int]("llm_attempts") === 4))
-    assert(out.drop(5).forall(_.getAs[Int]("llm_attempts") === 1))
-    assert(out.drop(5).forall(_.getAs[String]("llm_error").contains("(circuit open)")))
+    val probed = out.drop(5).filter(_.getAs[Int]("llm_attempts") === 1)
+    assert(probed.map(_.getAs[String]("doc_id").toLong).toSeq === Seq(9L, 14L, 19L))
+    assert(probed.forall(_.getAs[String]("llm_error").contains("(circuit open)")))
+    val skipped = out.drop(5).filter(_.getAs[Int]("llm_attempts") === 0)
+    assert(skipped.length === 12)
+    assert(skipped.forall(_.getAs[String]("llm_error").contains("skipped without call")))
     assert(LlmStageSpec.sleeps.get() === 5 * 3)
+  }
+
+  test("open circuit: a blackholed endpoint costs O(rows/probeEvery) calls") {
+    // every call HANGS (sleeps) before failing — the worst case: with
+    // per-row single attempts a dead-but-not-refusing endpoint would cost
+    // a connect timeout per row; sampled probing bounds it
+    val n = 1000
+    LlmStageSpec.HangingTransport.calls.set(0)
+    val out = LlmStage.generate(prompts(n).coalesce(1), "m",
+      LlmStageSpec.HangingTransport(),
+      maxRetries = 3, backoffMs = noBackoff, breakerAfter = 5).collect()
+    assert(out.length === n)
+    assert(out.forall(_.getAs[String]("llm_error") != null)) // all dead-letter
+    // 5 opening rows x 4 attempts + ~9 probes across 995 open-circuit rows
+    assert(LlmStageSpec.HangingTransport.calls.get() <= 5 * 4 + 12)
+    assert(out.count(_.getAs[Int]("llm_attempts") === 0) >= n - 20)
+  }
+
+  test("open circuit closes on a probe success") {
+    // fails until call 21, then recovers: the opening rows burn 5*1 calls
+    // (maxRetries=0), probes every 5th row keep sampling, and the first
+    // successful probe closes the circuit for all remaining rows
+    val out = LlmStage.generate(prompts(200).coalesce(1), "m",
+      LlmStageSpec.RecoveringTransport(failCalls = 21),
+      maxRetries = 0, backoffMs = noBackoff,
+      breakerAfter = 5, probeEvery = 5).collect()
+      .sortBy(_.getAs[String]("doc_id").toLong)
+    // calls: rows 0-4 open the circuit (calls 1-5); probes at rows 9, 14,
+    // ... fail until the 21st call; once a probe lands past failCalls the
+    // circuit closes and EVERY later row succeeds
+    val firstOk = out.indexWhere(_.getAs[String]("llm_error") == null)
+    assert(firstOk > 4)
+    assert(out.drop(firstOk).forall(_.getAs[String]("llm_error") == null))
+    assert(out.drop(firstOk).forall(_.getAs[Int]("llm_attempts") === 1))
   }
 
   test("circuit breaker is half-open: one success closes it again") {
@@ -95,7 +134,8 @@ class LlmStageSpec extends AnyFunSuite with SparkSpec {
     val out = LlmStage.generate(prompts(15).coalesce(1), "m",
       LlmStageSpec.WindowedTransport(okFrom = 8, okTo = 9),
       maxRetries = 3, backoffMs = LlmStageSpec.countingBackoff,
-      breakerAfter = 5).collect().sortBy(_.getAs[String]("doc_id").toLong)
+      breakerAfter = 5, probeEvery = 4).collect()
+      .sortBy(_.getAs[String]("doc_id").toLong)
     assert(out.slice(8, 10).forall(_.getAs[String]("llm_error") == null))
     // rows 10+ got full retries again — the circuit closed on success
     assert(out.drop(10).forall(_.getAs[Int]("llm_attempts") === 4))
@@ -167,6 +207,32 @@ object LlmStageSpec {
       if (id >= okFrom && id <= okTo) s"ok: $prompt"
       else throw new java.io.IOException(s"connection reset (doc $id)")
     }
+  }
+
+  /** Blackholed endpoint: every call hangs briefly, then fails transient —
+    * the case where even a sleepless per-row attempt costs a full connect
+    * timeout. Shared static call counter (local mode, one JVM).
+    */
+  case class HangingTransport() extends LlmTransport {
+    override def generate(model: String, prompt: String): String = {
+      HangingTransport.calls.incrementAndGet()
+      Thread.sleep(20) // stand-in for the 10 s connect timeout
+      throw new java.io.IOException("connect timed out")
+    }
+  }
+  object HangingTransport {
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+  }
+
+  /** Fails the first `failCalls` CALLS (not rows), then succeeds — models
+    * an endpoint that comes back mid-partition.
+    */
+  case class RecoveringTransport(failCalls: Int) extends LlmTransport {
+    private val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    override def generate(model: String, prompt: String): String =
+      if (calls.incrementAndGet() <= failCalls)
+        throw new java.io.IOException("connection reset")
+      else s"ok: $prompt"
   }
 
   /** Deterministic-broken for even docs, fine for odd. */

@@ -1,7 +1,7 @@
 package graft
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import graft.llm.{LlmStage, LlmWire, OllamaTransport}
+import graft.llm.{GeminiTransport, LlmStage, LlmWire, OllamaTransport}
 import graft.llm.LlmStage.DeterministicLlmError
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -55,6 +55,51 @@ class TransportLoopbackSpec extends AnyFunSuite with SparkSpec {
       assert(LlmWire.stringField(sent, "model") === Some("m"))
       assert(sent.contains(""""temperature": 0.1"""))
       assert(sent.contains(""""repeat_penalty": 1.1"""))
+    }
+  }
+
+  test("gemini transport: key rides the x-goog-api-key header, never the URL") {
+    val seenUri = new java.util.concurrent.atomic.AtomicReference[String]()
+    val seenKey = new java.util.concurrent.atomic.AtomicReference[String]()
+    withServer { ex =>
+      seenUri.set(ex.getRequestURI.toString)
+      seenKey.set(ex.getRequestHeaders.getFirst("x-goog-api-key"))
+      if (ex.getRequestURI.getPath.endsWith("/models")) (200, """{"models":[]}""")
+      else (200,
+        // promptFeedback carries a "text"-bearing structure BEFORE the
+        // candidates — the parse must bind the candidate part, not it
+        """{"promptFeedback":{"blockReason":{"text":"not this"}},""" +
+          """"candidates":[{"content":{"parts":[{"text":"  real answer "}]}}]}""")
+    } { base =>
+      val t = GeminiTransport("sk-secret-123", base)
+      assert(t.live())
+      assert(seenKey.get() === "sk-secret-123")
+      assert(!seenUri.get().contains("sk-secret-123"))
+      assert(t.generate("gemini-pro", "Context: q") === "real answer")
+      assert(seenKey.get() === "sk-secret-123")
+      assert(!seenUri.get().contains("sk-secret-123")) // request line secret-free
+      assert(seenUri.get().endsWith("/models/gemini-pro:generateContent"))
+    }
+  }
+
+  test("gemini reply without candidates or with malformed escapes is deterministic") {
+    withServer { _ => (200, """{"promptFeedback":{"blockReason":"SAFETY"}}""") } { base =>
+      val e = intercept[DeterministicLlmError] {
+        GeminiTransport("k", base).generate("m", "p")
+      }
+      assert(e.getMessage.contains("candidates"))
+    }
+    // malformed \u escape: deterministic (same bytes re-parse identically),
+    // must NOT ride the transient retry path
+    // the body contains a literal backslash-u with non-hex digits (built by
+    // concat — Scala 2 pre-processes \z unicode escapes even in literals)
+    val badEsc = "{\"candidates\":[{\"content\":{\"parts\":[{\"text\":\"bad " +
+      "\\" + "uZZZZ esc\"}]}}]}"
+    withServer { _ => (200, badEsc) } { base =>
+      val e = intercept[DeterministicLlmError] {
+        GeminiTransport("k", base).generate("m", "p")
+      }
+      assert(e.getMessage.contains("malformed"))
     }
   }
 
