@@ -76,6 +76,17 @@ object Bench {
     @volatile var sfDir: String = ""
     @volatile var budgetSec: Double = 0.0
     @volatile var startNanos: Long = 0L
+    // storm detection (round-4 post-mortem: one storm pass ate 1096 of
+    // 1140 s and killed the scaling phase): a 3-query canary against
+    // calm minima pinned from committed artifact history decides whether
+    // this run degrades (reduced-replication scaling FIRST, query rounds
+    // at the smaller sf, tight per-query caps)
+    @volatile var stormMode = false
+    @volatile var canaryFactor = -1.0
+    @volatile var querySf: String = "" // dir the timed query rounds used
+    // queries whose shipped time came from the degraded-sf salvage pass —
+    // their seconds are NOT comparable to same-named entries of calm runs
+    val degraded = new java.util.concurrent.CopyOnWriteArrayList[String]()
     // per-query best-so-far (-1 = attempted, never succeeded)
     val queryTimes = new java.util.concurrent.ConcurrentHashMap[String, Double]()
     @volatile var queryRounds: Int = 0
@@ -108,19 +119,50 @@ object Bench {
     val EffSaneHi = 1.3
     def effSkewed(e: Double): Boolean = e > EffSaneHi || e < EffSaneLo
 
-    /** Wall-ratio efficiency over the paired reps so far (best-of per
-      * level), None until one rep completed — the rep loop uses this to
-      * decide whether the block would ship weather-contaminated and a
-      * retry rep is worth the budget. Same formula as the emitted
-      * `efficiency` field.
+    /** Indices of the paired reps whose corpus fraction == `frac` (runsN,
+      * runs4N and repFracs are appended together, so indices align).
       */
-    def effWallNow: Option[Double] = {
+    private def fracIdx(frac: Int): Seq[Int] = {
+      import scala.jdk.CollectionConverters._
+      repFracs.asScala.toSeq.zipWithIndex.filter(_._1 == frac).map(_._2)
+    }
+
+    /** (wall eff, cpu eff) over best-of the given rep indices. */
+    private def effOver(idx: Seq[Int]): (Double, Double) = {
       import scala.jdk.CollectionConverters._
       val rN = runsN.asScala.toSeq
       val r4N = runs4N.asScala.toSeq
-      if (rN.isEmpty || r4N.isEmpty) None
-      else Some(r4N.map(_._1).max / ((cores4N.toDouble / coresN) * rN.map(_._1).max))
+      val ratio = cores4N.toDouble / coresN
+      val tN = idx.map(rN(_)._1).max; val t4N = idx.map(r4N(_)._1).max
+      val cN = idx.map(rN(_)._2).max; val c4N = idx.map(r4N(_)._2).max
+      (t4N / (ratio * tN), c4N / (ratio * cN))
     }
+
+    /** The frac group the shipped efficiency is computed over: a reduced
+      * (weather-retry) rep must NOT enter the same best-of pool as full
+      * reps — a quarter corpus that fits cache where the full corpus
+      * spills can overstate one level's best and skew the ratio. Prefer
+      * the largest frac whose within-group ratio is weather-sane; if none
+      * is, the group with the most reps (larger frac on ties).
+      */
+    def chosenFrac: Option[Int] = {
+      import scala.jdk.CollectionConverters._
+      val fr = repFracs.asScala.toSeq
+      if (fr.isEmpty) None
+      else {
+        val groups = fr.distinct.sortBy(-_)
+        Some(groups.find(g => !effSkewed(effOver(fracIdx(g))._1))
+          .getOrElse(groups.maxBy(g => (fracIdx(g).size, g))))
+      }
+    }
+
+    /** Wall-ratio efficiency over the chosen frac group so far, None until
+      * one rep completed — the rep loop uses this to decide whether the
+      * block would ship weather-contaminated and a retry rep is worth the
+      * budget. Same group selection as the emitted `efficiency` field.
+      */
+    def effWallNow: Option[Double] =
+      chosenFrac.map(g => effOver(fracIdx(g))._1)
 
     def emit(): Unit = if (printed.compareAndSet(false, true)) {
       Option(liveChild).foreach { p => p.destroyForcibly(); () }
@@ -140,8 +182,14 @@ object Bench {
       // stragglers/idle loss); "efficiency_cpu" = CPU-time-derived ratio
       // (steal-immune cross-check — rationale in BASELINE.md)
       val scaling = if (rN.isEmpty || r4N.isEmpty) "null" else {
-        val tN = rN.map(_._1).max; val t4N = r4N.map(_._1).max
-        val cN = rN.map(_._2).max; val c4N = r4N.map(_._2).max
+        // best-of WITHIN one corpus-fraction group (see chosenFrac): mixed
+        // full/reduced pools can let a cache-resident quarter corpus
+        // overstate one level's best and skew the very ratio the retry
+        // reps exist to repair
+        val g = chosenFrac.get
+        val gi = fracIdx(g)
+        val tN = gi.map(rN(_)._1).max; val t4N = gi.map(r4N(_)._1).max
+        val cN = gi.map(rN(_)._2).max; val c4N = gi.map(r4N(_)._2).max
         val ratio = cores4N.toDouble / coresN
         val effWall = t4N / (ratio * tN)
         val effCpu = c4N / (ratio * cN)
@@ -150,13 +198,20 @@ object Bench {
         // storm the other missed — a measured single-rep artifact hit 11.5
         // when the N child ran entirely inside a storm); say so in the
         // artifact instead of letting the headline stand alone
+        val mixedNote =
+          if (repFracs.asScala.toSeq.distinct.size > 1)
+            s" (efficiency over the frac=$g% reps only; other-frac reps excluded from the best-of pool)"
+          else ""
         val note =
           if (effSkewed(effWall))
-            s""","weather_note":"levels sampled different steal weather (${rN.size} paired rep(s)); capability ratio unreliable this run -- compare pass_secs and prior-run/BASELINE.md history""""
+            s""","weather_note":"levels sampled different steal weather (${gi.size} paired rep(s) in the scored group)$mixedNote; capability ratio unreliable this run -- compare pass_secs and prior-run/BASELINE.md history""""
+          else if (mixedNote.nonEmpty)
+            s""","weather_note":"${mixedNote.trim.stripPrefix("(").stripSuffix(")")}""""
           else ""
         s"""{"docs":$nDocs,"cores_n":$coresN,"cores_4n":$cores4N,""" +
           s""""docs_per_sec_n":${f"$tN%.1f"},"docs_per_sec_4n":${f"$t4N%.1f"},""" +
           s""""efficiency":${f"$effWall%.3f"},"efficiency_cpu":${f"$effCpu%.3f"},""" +
+          s""""efficiency_frac":$g,""" +
           s""""cpu_docs_per_sec_n":${f"$cN%.1f"},"cpu_docs_per_sec_4n":${f"$c4N%.1f"},""" +
           s""""wall_runs_n":${arr(rN.map(_._1))},"wall_runs_4n":${arr(r4N.map(_._1))},""" +
           s""""cpu_runs_n":${arr(rN.map(_._2))},"cpu_runs_4n":${arr(r4N.map(_._2))},""" +
@@ -164,8 +219,10 @@ object Bench {
           s""""pass_secs_4n":${passSecs4N.asScala.map(p => p.map(x => f"$x%.1f").mkString("[", ",", "]")).mkString("[", ",", "]")},""" +
           s""""rep_fracs":${repFracs.asScala.mkString("[", ",", "]")}$note}"""
       }
+      val degradedJson = degraded.asScala.toSeq.sorted
+        .map(n => s""""$n"""").mkString("[", ",", "]")
       println(
-        s"""{"metric":"total_query_sec","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"queries_timed":$timed,"queries_total":${results.size},"sf":"$sfDir","scaling":$scaling,"query_rounds":$queryRounds,"budget_sec":${f"$budgetSec%.0f"},"elapsed_sec":${f"$elapsed%.0f"}}""")
+        s"""{"metric":"total_query_sec","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"queries_timed":$timed,"queries_total":${results.size},"sf":"$sfDir","scaling":$scaling,"query_rounds":$queryRounds,"storm_mode":$stormMode,"canary_factor":${f"$canaryFactor%.2f"},"query_sf":"$querySf","degraded_queries":$degradedJson,"budget_sec":${f"$budgetSec%.0f"},"elapsed_sec":${f"$elapsed%.0f"}}""")
       System.out.flush()
     }
   }
@@ -309,6 +366,42 @@ object Bench {
       measured.map(m => f"${m._1}%.1f").mkString(","))
   }
 
+  /** Calm-run canary pins: min-of-rounds seconds for three cheap queries
+    * at local[32]/sf0.1 from the committed artifact history
+    * (bench_r4_local.json: dedup_simhash 0.167, text_tokens 0.278,
+    * corpus_pack 0.297). A WARM re-run of the trio that takes more than
+    * [[main]]'s storm factor (default 6x) times this sum means the host
+    * is inside a neighbor-steal storm and the run must degrade rather
+    * than let one inflated pass eat the whole budget (round 4's driver
+    * artifact burned 1096 of 1140 s on a single storm pass).
+    */
+  private val CanaryQueries = Seq("dedup_simhash", "text_tokens", "corpus_pack")
+  private val CanaryCalmSec = 0.75
+
+  /** Time `force(mk)` with a hard wall cap enforced by job-group
+    * cancellation: a storm-inflated (or pathological) query then costs at
+    * most `capSec`, not minutes — the round-4 failure mode was exactly
+    * per-query 45-80 s storm times with no cap. Returns -1 on cancel or
+    * failure. The watchdog is a daemon and exits as soon as the query
+    * finishes.
+    */
+  private def timedForce(s: SparkSession, mk: => DataFrame, capSec: Double): Double = {
+    val group = s"bench-${java.util.UUID.randomUUID()}"
+    @volatile var finished = false
+    val sc = s.sparkContext
+    sc.setJobGroup(group, "graft-bench capped query", interruptOnCancel = true)
+    val watchdog = new Thread(() => {
+      val deadline = System.nanoTime() + (capSec * 1e9).toLong
+      while (!finished && System.nanoTime() < deadline) Thread.sleep(50)
+      if (!finished) sc.cancelJobGroup(group)
+    })
+    watchdog.setDaemon(true)
+    watchdog.start()
+    try time(force(mk))
+    catch { case _: Throwable => -1.0 }
+    finally { finished = true; sc.clearJobGroup() }
+  }
+
   def main(args: Array[String]): Unit = {
     // the f interpolator is locale-sensitive: a comma-decimal default
     // locale would corrupt both the TPUT wire line and the JSON itself
@@ -330,6 +423,11 @@ object Bench {
     val scratch = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/tmp/graft_bench") + "/spans"
     val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1140").toDouble
     val skipScaling = sys.env.get("SPARK_GRAFT_BENCH_SKIP_SCALING").contains("1")
+    // canary inflation beyond this factor over the pinned calm seconds
+    // flips storm mode (6x sits between calm jitter, <2x, and the 20x
+    // storms this microVM measures)
+    val stormThresh = sys.env.getOrElse("SPARK_GRAFT_BENCH_STORM_FACTOR", "6").toDouble
+    val qreps = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_REPS", "3").toInt
 
     State.sfDir = sfDir
     State.budgetSec = budget
@@ -337,45 +435,6 @@ object Bench {
     def remaining: Double = budget - State.elapsed
     Runtime.getRuntime.addShutdownHook(new Thread(() => State.emit()))
 
-    // ---- phase 1: per-query timings at the driver's cpu count ----
-    // interleaved rounds + per-query min (see scaladoc): one warmup pass,
-    // then up to `qreps` timed passes, stopping when the phase share of the
-    // budget is spent (scaling needs the rest; with scaling skipped the
-    // queries may use nearly all of it)
-    val qreps = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_REPS", "3").toInt
-    val queryPhaseCap = if (skipScaling) budget - 30 else budget * 0.45
-    val s = session(cpus)
-    val qs0 = SparkEntry.queries.toSeq.sortBy(_._1)
-    // every query is present in the JSON from the start: -1.0 = never
-    // successfully timed (the long-standing failed-query sentinel), so a
-    // budget-shed tail reads as explicit -1.0 entries, not missing keys
-    qs0.foreach { case (name, _) => State.queryTimes.putIfAbsent(name, -1.0); () }
-    var break = false
-    for ((name, fn) <- qs0 if !break) { // warmup (uncounted; misses run cold)
-      try force(fn(s, sfDir)) catch { case _: Throwable => () }
-      if (State.elapsed > queryPhaseCap * 0.5) break = true
-    }
-    var r = 0
-    while (r < qreps && State.elapsed < queryPhaseCap) {
-      r += 1
-      var completedRound = true
-      for ((name, fn) <- qs0) {
-        if (State.elapsed >= queryPhaseCap) completedRound = false
-        else {
-          val sec = try time(force(fn(s, sfDir))) catch { case _: Throwable => -1.0 }
-          System.err.println(s"[bench] round $r $name: $sec")
-          State.queryTimes.merge(name, sec,
-            (a, b) => if (a < 0) b else if (b < 0) a else math.min(a, b))
-        }
-      }
-      // query_rounds counts only FULL rounds — a budget-cut round must not
-      // read as a complete sample
-      if (completedRound) State.queryRounds = r
-    }
-    s.stop()
-    System.err.println(f"[bench] query phase done: $r rounds, ${State.elapsed}%.0f s elapsed")
-
-    // ---- phase 2+3: scaling (prep then fresh-JVM interleaved reps) ----
     // N and 4N parallelism levels. Default 2 vs 8: far below the 32-core
     // host's saturation point, where neighbor steal and all-core frequency
     // effects distort least (8-vs-32 measured local[32] COLLAPSING on this
@@ -389,7 +448,47 @@ object Bench {
     // level can both land inside one — more, cheaper reps beat fewer
     val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
 
-    if (!skipScaling && remaining > 300) {
+    // ---- phase 0: storm canary ----
+    // warm the trio (cold costs: parquet footers + codegen, calm ~2-5 s
+    // per query) capped at 45 s each; a warm trio beyond stormThresh x
+    // the pinned calm sum — or a warm pass that itself blew 45 s — means
+    // storm. Cost: calm ~8 s, storm <= 135 s; round 4 lost 1096 s to the
+    // missing detection.
+    val canary = session(cpus)
+    val canaryFns = CanaryQueries.flatMap(n => SparkEntry.queries.get(n))
+    val warmSum = canaryFns.map { fn =>
+      val t = timedForce(canary, fn(canary, sfDir), 45.0)
+      if (t < 0) 45.0 else t
+    }.sum
+    if (warmSum > 45.0) { // >=5x the ~8 s calm COLD trio: conclusive alone
+      State.canaryFactor = warmSum / CanaryCalmSec
+      State.stormMode = true
+    } else {
+      val timedSum = canaryFns.map { fn =>
+        val t = timedForce(canary, fn(canary, sfDir), 30.0)
+        if (t < 0) 30.0 else t
+      }.sum
+      State.canaryFactor = timedSum / CanaryCalmSec
+      State.stormMode = State.canaryFactor > stormThresh
+    }
+    System.err.println(f"[bench] canary: factor ${State.canaryFactor}%.1f (storm=${State.stormMode}, warm ${warmSum}%.1f s)")
+
+    // the degraded query dir: the sibling sf0.01 (an order of magnitude
+    // less data — even 20x-storm-inflated queries finish in seconds)
+    val degradedSf = {
+      val f = new java.io.File(sfDir)
+      val sib = new java.io.File(f.getParentFile, "sf0.01")
+      if (sib.isDirectory && sib.getPath != f.getCanonicalPath && sib.getPath != f.getPath)
+        sib.getPath
+      else sfDir
+    }
+    State.querySf = if (State.stormMode) degradedSf else sfDir
+
+    // ---- scaling machinery (shared by the storm-first and calm-last
+    // invocations) ----
+    val repCosts = scala.collection.mutable.ArrayBuffer.empty[Double]
+
+    def prepScratch(repMult: Int): Unit = {
       // prep: materialize the replicated span table (not timed). spanMult
       // fattens each doc (repeat + re-offset) so per-doc kernel work
       // dominates fixed overheads — the compute regime the claim is about
@@ -406,7 +505,7 @@ object Bench {
           sp.getField("media_ref").as("media_ref"),
           i.cast("int").as("offset")))
         val replicated = base
-          .select(explode(sequence(lit(0), lit(rep - 1))).as("r"), col("doc_id"),
+          .select(explode(sequence(lit(0), lit(repMult - 1))).as("r"), col("doc_id"),
             refat.as("spans"))
           .select(concat(col("doc_id"), lit("-"), col("r")).as("doc_id"), col("spans"))
         replicated.repartition(32).write.mode("overwrite").parquet(scratch)
@@ -414,74 +513,164 @@ object Bench {
       State.nDocs = prep.read.parquet(scratch).count()
       prep.stop()
       System.err.println(f"[bench] prepared ${State.nDocs} docs at $scratch (${State.elapsed}%.0f s elapsed)")
+    }
 
-      // interleaved paired reps, best-of per level; a rep launches only if
-      // the remaining budget fits it (estimated from the last rep, with a
-      // floor for the first), and each child gets the remaining budget
-      // minus a reserve as its hard timeout
-      var i = 0
+    /** Interleaved paired reps, appended to the shared State pools.
+      * @param target       total paired reps wanted across ALL invocations
+      * @param baseFrac     percent of the full corpus the SCRATCH holds
+      *                     (storm mode preps at reduced replication)
+      * @param reserveSec   budget slice runReps must leave untouched
+      *                     (storm-first leaves room for the query phase)
+      * @param childCapSec  hard per-child timeout cap (storm-first bounds
+      *                     each child so a trapped child cannot starve the
+      *                     queries; the final invocation passes infinity)
+      * @param weatherExtras extra reduced reps allowed past `target` while
+      *                     the best-of ratio is weather-skewed
+      */
+    def runReps(target: Int, baseFrac: Int, reserveSec: Double,
+        childCapSec: Double, weatherExtras: Int): Unit = {
       var stop = false
-      val repCosts = scala.collection.mutable.ArrayBuffer.empty[Double]
-      // launch gate: before any rep completes, the conservative 300 s
-      // floor; after one, the MEASURED cheapest rep + reserve (ADVICE r03:
-      // the fixed floor shed a calm ~150 s rep with 279 s of budget left —
-      // exactly the rep that would have fixed a storm-skewed ratio).
-      // Children still self-limit (shrinking pass budget + hard timeout),
-      // so an optimistic launch can never overrun the budget.
-      def repGate(frac: Int): Double =
-        if (repCosts.isEmpty) 300.0
-        else math.min(300.0, repCosts.min * frac / 100.0 + 60.0)
-      // current best-of ratio is weather-skewed -> the block would ship
-      // with a weather_note; worth extra reps (full or reduced) to catch
-      // one calm sample per level
-      def weatherSkewed: Boolean =
-        State.effWallNow.exists(State.effSkewed)
-      val maxExtraReps = 3
       var extra = 0
-      while (!stop &&
-          (i < maxReps || (weatherSkewed && extra < maxExtraReps))) {
-        // a weather-retry rep past maxReps shrinks the corpus to fit the
-        // leftover budget: 100% if it fits, else 50%, else 25%
-        val frac =
-          if (i < maxReps) 100
-          else Seq(100, 50, 25).find(f => remaining > repGate(f)).getOrElse(25)
-        if (remaining < repGate(frac)) {
-          System.err.println(f"[bench] budget: skipping scaling rep ${i + 1} (${remaining}%.0f s left, gate ${repGate(frac)}%.0f s)")
+      def repsDone = State.runsN.size()
+      def weatherSkewed = State.effWallNow.exists(State.effSkewed)
+      // launch gate: before any rep completes, a frac-scaled floor; after
+      // one, the MEASURED cheapest full-equivalent rep cost scaled to this
+      // rep's fraction + reserve (ADVICE r03: a fixed floor shed a calm
+      // ~150 s rep with 279 s left — exactly the rep that would have fixed
+      // a storm-skewed ratio). Children still self-limit, so an optimistic
+      // launch can never overrun the budget.
+      def repGate(effFrac: Int): Double =
+        if (repCosts.isEmpty) math.max(120.0, 300.0 * effFrac / 100.0)
+        else math.min(300.0, repCosts.min * effFrac / 100.0 + 60.0)
+      while (!stop && (repsDone < target || (weatherSkewed && extra < weatherExtras))) {
+        val isExtra = repsDone >= target
+        // a weather-retry rep past target shrinks the child's corpus
+        // sample to fit the leftover budget: 100% if it fits, else 50/25%
+        val childFrac =
+          if (!isExtra) 100
+          else Seq(100, 50, 25)
+            .find(f => remaining - reserveSec > repGate(math.max(1, baseFrac * f / 100)))
+            .getOrElse(25)
+        val label = math.max(1, baseFrac * childFrac / 100)
+        if (remaining - reserveSec < repGate(label)) {
+          System.err.println(f"[bench] budget: skipping scaling rep ${repsDone + 1} (${remaining}%.0f s left, reserve ${reserveSec}%.0f, gate ${repGate(label)}%.0f s)")
           stop = true
         } else {
-          if (i >= maxReps) {
+          if (isExtra) {
             extra += 1
-            System.err.println(f"[bench] weather retry ${extra}: best-of ratio still skewed (${State.effWallNow.getOrElse(-1.0)}%.3f), rep at $frac%%")
+            System.err.println(f"[bench] weather retry ${extra}: best-of ratio still skewed (${State.effWallNow.getOrElse(-1.0)}%.3f), child frac $childFrac%%")
           }
           val repT0 = State.elapsed
-          // soft per-child pass budget: calm children finish in well under
-          // it (8-pass cap); storm children stop sampling in time for the
+          // soft per-child pass budget: calm children finish well under it
+          // (8-pass cap); storm children stop sampling in time for the
           // OTHER level to run. The hard kill-cap stays as backstop.
-          def passBudget = math.min(240.0, (remaining - 90) / 2)
-          tputInChildJvm(coresN, scratch, remaining - 45, passBudget, frac) match {
+          def childTimeout = math.min(childCapSec, remaining - reserveSec - 45)
+          def passBudget = math.min(240.0, (math.min(childCapSec * 2, remaining - reserveSec) - 90) / 2)
+          tputInChildJvm(coresN, scratch, childTimeout, passBudget, childFrac) match {
             case None => stop = true
             case Some((nW, nC, nP)) =>
-              tputInChildJvm(cores4N, scratch, remaining - 45, passBudget, frac) match {
+              tputInChildJvm(cores4N, scratch, childTimeout, passBudget, childFrac) match {
                 case None => stop = true // unpaired N run discarded (fair best-of)
                 case Some((n4W, n4C, n4P)) =>
                   State.runsN.add((nW, nC))
                   State.runs4N.add((n4W, n4C))
                   State.passSecsN.add(nP)
                   State.passSecs4N.add(n4P)
-                  State.repFracs.add(frac)
+                  State.repFracs.add(label)
                   val repSec = State.elapsed - repT0
                   // normalize to FULL-corpus-equivalent cost — repGate
                   // scales by frac, so a cheap 25% rep must not make it
                   // think a full rep costs a quarter of reality
-                  repCosts += repSec * (100.0 / frac)
-                  i += 1
-                  System.err.println(f"[bench] rep $i (frac $frac%%): tN=($nW,$nC) t4N=($n4W,$n4C) (${repSec}%.0f s)")
+                  repCosts += repSec * (100.0 / label)
+                  System.err.println(f"[bench] rep $repsDone (frac $label%%): tN=($nW,$nC) t4N=($n4W,$n4C) (${repSec}%.0f s)")
               }
           }
         }
       }
-    } else if (!skipScaling) {
-      System.err.println(f"[bench] budget: scaling phase skipped entirely (${remaining}%.0f s left)")
+    }
+
+    // ---- storm path: the scaling phase gets its reserved slice FIRST,
+    // at reduced replication (cheap prep, cheap passes) — round 4 proved
+    // that running it last lets one storm pass of the query phase starve
+    // it to "scaling": null. rep_fracs discloses the reduction. Half, not
+    // quarter: below ~50k docs the 4N level's pass time is fixed-cost
+    // dominated and the ratio reads low even on a calm host.
+    val stormRepMult = math.max(1, rep / 2)
+    val stormBaseFrac = math.max(1, stormRepMult * 100 / rep)
+    if (!skipScaling && State.stormMode) {
+      canary.stop()
+      prepScratch(stormRepMult)
+      runReps(target = 1, baseFrac = stormBaseFrac, reserveSec = 300.0,
+        childCapSec = 270.0, weatherExtras = 0)
+    }
+
+    // ---- query phase: interleaved rounds + per-query min (see scaladoc),
+    // every query under a hard wall cap (timedForce), phase under an
+    // absolute deadline, then a salvage pass at the degraded sf so a
+    // never-timed query still ships a number instead of -1
+    val s = if (!skipScaling && State.stormMode) session(cpus) else canary
+    val phaseStart = State.elapsed
+    val deadline =
+      if (skipScaling) budget - 30
+      else if (State.stormMode) phaseStart + math.max(120.0, math.min(300.0, remaining - 120.0))
+      else math.min(budget * 0.45, budget - math.min(500.0, budget * 0.5))
+    val warmCap = if (State.stormMode) 30.0 else 90.0
+    val roundCap = if (State.stormMode) 20.0 else 45.0
+    val qs0 = SparkEntry.queries.toSeq.sortBy(_._1)
+    // every query is present in the JSON from the start: -1.0 = never
+    // successfully timed (the long-standing failed-query sentinel), so a
+    // budget-shed tail reads as explicit -1.0 entries, not missing keys
+    qs0.foreach { case (name, _) => State.queryTimes.putIfAbsent(name, -1.0); () }
+    var break = false
+    for ((name, fn) <- qs0 if !break) { // warmup (uncounted; misses run cold)
+      timedForce(s, fn(s, State.querySf), warmCap)
+      if (State.elapsed > phaseStart + 0.4 * (deadline - phaseStart)) break = true
+    }
+    var r = 0
+    while (r < qreps && State.elapsed < deadline) {
+      r += 1
+      var completedRound = true
+      for ((name, fn) <- qs0) {
+        if (State.elapsed >= deadline) completedRound = false
+        else {
+          val sec = timedForce(s, fn(s, State.querySf), roundCap)
+          System.err.println(s"[bench] round $r $name: $sec")
+          State.queryTimes.merge(name, sec,
+            (a, b) => if (a < 0) b else if (b < 0) a else math.min(a, b))
+        }
+      }
+      // query_rounds counts only FULL rounds — a budget-cut round must not
+      // read as a complete sample
+      if (completedRound) State.queryRounds = r
+    }
+    // salvage: any query with no successful timing gets one attempt at the
+    // degraded sf (cap 20 s) — queries_timed == queries_total even under a
+    // full-run storm, with the names disclosed in degraded_queries
+    for ((name, fn) <- qs0
+         if State.queryTimes.get(name) < 0 && State.elapsed < budget - 45) {
+      val sec = timedForce(s, fn(s, degradedSf), 20.0)
+      if (sec >= 0) {
+        State.queryTimes.put(name, sec)
+        State.degraded.add(name)
+        System.err.println(f"[bench] salvage $name @ $degradedSf: $sec%.2f s")
+      }
+    }
+    s.stop()
+    System.err.println(f"[bench] query phase done: $r rounds, ${State.elapsed}%.0f s elapsed")
+
+    // ---- remaining scaling reps ----
+    if (!skipScaling) {
+      if (State.stormMode) {
+        // same reduced scratch; whatever budget the queries left
+        runReps(target = maxReps, baseFrac = stormBaseFrac, reserveSec = 0.0,
+          childCapSec = Double.MaxValue, weatherExtras = 3)
+      } else if (remaining > 300) {
+        prepScratch(rep)
+        runReps(target = maxReps, baseFrac = 100, reserveSec = 0.0,
+          childCapSec = Double.MaxValue, weatherExtras = 3)
+      } else {
+        System.err.println(f"[bench] budget: scaling phase skipped entirely (${remaining}%.0f s left)")
+      }
     }
 
     State.emit()

@@ -19,6 +19,22 @@ object Corpus {
   val SampleThresholds: Seq[(String, Int)] = Seq("en" -> 500, "pt" -> 200)
   val SampleDefaultThreshold = 100
 
+  /** The per-mille keep threshold for a language column — the ONE
+    * definition [[sampleStratified]], [[buildCorpusCore]] and the
+    * streaming corpus tail all fold over (no logic forks).
+    */
+  def sampleThresholdCol(lang: Column): Column =
+    SampleThresholds.foldRight(lit(SampleDefaultThreshold)) { case ((l, t), acc) =>
+      when(lang === l, lit(t)).otherwise(acc)
+    }
+
+  /** The deterministic sample predicate:
+    * `h32("sample-" || doc_id) % 1000 < threshold(lang)`.
+    */
+  def sampleKeep(docId: Column, lang: Column): Column =
+    pmod(PortableHash.hexint32(concat(lit("sample-"), docId.cast("string"))),
+      lit(1000L)) < sampleThresholdCol(lang)
+
   /** Deterministic stratified sampling: keep a doc iff
     * `h32("sample-" || doc_id) % 1000 < threshold(lang)`. Hash-based, so
     * the sample is REPRODUCIBLE (a rerun keeps exactly the same docs —
@@ -28,10 +44,7 @@ object Corpus {
     */
   def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
-    val threshold = SampleThresholds
-      .foldRight(lit(SampleDefaultThreshold)) { case ((l, t), acc) =>
-        when(col("lang") === l, lit(t)).otherwise(acc)
-      }
+    val threshold = sampleThresholdCol(col("lang"))
     d.select(d("doc_id"), d("lang"),
       pmod(PortableHash.hexint32(concat(lit("sample-"), d("doc_id").cast("string"))),
         lit(1000L)).as("h"))
@@ -169,31 +182,53 @@ object Corpus {
       .orderBy("doc_id") // driver-query determinism only; deployments skip it
 
   /** [[buildCorpus]] without the final global sort — the deployment shape
-    * (two key-partitioned exchanges, nothing else).
+    * (key-partitioned exchanges only, no global funnel).
     */
-  def buildCorpusCore(d: DataFrame): DataFrame = {
-    // n_tokens is computed HERE, in the one projection off the scan, so
-    // the document text itself never enters a shuffle: the dedup exchange
-    // and both window sorts below carry only fixed-width columns (at
-    // 100 TB the text payload would dominate the first shuffle otherwise)
-    val tagged = d.select(
-      d("doc_id"),
-      size(TextAnalysis.nonEmptyWords(d("text"))).cast("long").as("n_tokens"),
-      TextAnalysis.langGuessCol(d("text")).as("lang_guess"),
-      TextAnalysis.gopherKeepCol(d("text")).as("quality_keep"),
-      PortableHash.hexint60(d("text")).as("text_hash"))
-    val w = Window.partitionBy("text_hash").orderBy("doc_id")
+  def buildCorpusCore(d: DataFrame): DataFrame =
+    packSequencesBy(tagDedupSample(d), packShard(col("doc_id")),
+      carry = Seq("lang_guess"), tokens = Some(col("n_tokens")))
+
+  /** The tag → exact-dedup → stratified-sample front of the corpus build
+    * (everything before packing), exposed separately so the STREAMING
+    * corpus tail ([[graft.streaming.CorpusStream]]) can pin batch parity
+    * against exactly these stages. Output: one row per surviving doc —
+    * `(doc_id, n_tokens, lang_guess, text_hash)`.
+    */
+  def tagDedupSample(d: DataFrame): DataFrame = {
+    // the word array is split ONCE in its own projection and every tag
+    // metric derives from it: CollapseProject re-inlines an alias
+    // referenced only once, and the previous single-projection shape
+    // evaluated the O(len) split ~7x per row (once per metric)
+    val withWords = d.select(d("doc_id"), d("text"),
+      TextAnalysis.nonEmptyWords(d("text")).as("ws"))
+    // n_tokens is computed HERE, off the scan, so the document text
+    // itself never enters a shuffle: the dedup exchange and the pack
+    // window sort below carry only fixed-width columns (at 100 TB the
+    // text payload would dominate the first shuffle otherwise)
+    val tagged = withWords.select(
+      col("doc_id"),
+      size(col("ws")).cast("long").as("n_tokens"),
+      TextAnalysis.langGuessFromWords(col("ws")).as("lang_guess"),
+      TextAnalysis.gopherKeepFromWords(col("text"), col("ws")).as("quality_keep"),
+      PortableHash.hexint60(col("text")).as("text_hash"))
+    // exact dedup as partial-aggregate + join-back, NOT a
+    // `row_number() over (partition by text_hash)` window: the window
+    // sorts whole hash groups, so a degenerate hash (empty text
+    // duplicated 10^9x) pins one task; groupBy(min) combines map-side
+    // (one row per distinct hash per map task) and the join back is
+    // AQE-skew-splittable where a window's per-key sort is not. Keeper
+    // selection sees ALL rows (a quality-dropped doc can be the keeper,
+    // exactly as the audited single-op dedup defines it), so the
+    // quality filter applies only to the probe side. Cost: the keeper
+    // branch re-reads (doc_id, text) and recomputes the hash — a
+    // column-pruned second scan, the standard price for bounded skew.
+    val keepers = tagged.select("text_hash", "doc_id")
+      .groupBy("text_hash").agg(min("doc_id").as("keeper_id"))
     val survivors = tagged
-      .withColumn("is_duplicate", row_number().over(w) > 1)
-      .where(col("quality_keep") && !col("is_duplicate"))
-    val threshold = SampleThresholds
-      .foldRight(lit(SampleDefaultThreshold)) { case ((l, t), acc) =>
-        when(col("lang_guess") === l, lit(t)).otherwise(acc)
-      }
-    val sampled = survivors.where(
-      pmod(PortableHash.hexint32(concat(lit("sample-"), col("doc_id").cast("string"))),
-        lit(1000L)) < threshold)
-    packSequencesBy(sampled, packShard(col("doc_id")), carry = Seq("lang_guess"),
-      tokens = Some(col("n_tokens")))
+      .where(col("quality_keep"))
+      .join(keepers, Seq("text_hash"))
+      .where(col("doc_id") === col("keeper_id"))
+    survivors.where(sampleKeep(col("doc_id"), col("lang_guess")))
+      .select("doc_id", "n_tokens", "lang_guess", "text_hash")
   }
 }

@@ -247,61 +247,93 @@ object Dedup {
     * dedup pass drops `NOT is_keeper` rows; emitting the whole labeling
     * keeps the decision auditable (which doc survived and why).
     *
-    * Distributed shape: iterative min-label propagation — each round is
-    * ONE hash-partitioned join (labels onto edge endpoints) + ONE
-    * min-aggregate per node; rounds = cluster diameter. Near-dup
-    * clusters are overwhelmingly tiny (pairs/triangles, diameter ≤ 2-3),
-    * so this converges in 2-4 shuffles at any corpus size; a
-    * pathological chain-shaped graph would call for the
-    * large-star/small-star variant (O(log n) rounds) with the same
-    * dataflow contract. Convergence is detected from sum(label) —
-    * min-updates are monotone non-increasing, so any change strictly
-    * decreases the (exact, decimal) sum — one scan of the persisted
-    * round result instead of an extra old-vs-new join per round. The
-    * final labeling memoizes in [[SessionMemo]] like every other
-    * persisted dedup stage (bench rounds reuse it; no cache-entry
-    * accumulation).
+    * Distributed shape: min-label propagation WITH pointer jumping —
+    * each round is (a) ONE hash-partitioned join of labels onto edge
+    * endpoints + ONE min-aggregate per node (the propagate step, reach
+    * +1 hop), then (b) ONE self-join of the labeling on its own label
+    * column (the jump step: `label := label(label)`, which doubles the
+    * distance already covered — the star-contraction idea from the
+    * MapReduce-CC literature, e.g. Kiveris et al. 2014). Reach grows
+    * ~2x+1 per round, so even a pathological CHAIN-shaped duplicate
+    * graph (template spam) converges in O(log n) rounds — ~10 for a
+    * 200-node chain where plain propagation needs 199 — while the
+    * typical near-dup graph (pairs/triangles, diameter 2-3) still
+    * finishes in 2-3 rounds. Convergence is detected from sum(label) —
+    * both steps are monotone non-increasing per node, so any change
+    * strictly decreases the (exact, decimal) sum — one bounded
+    * one-row collect per round. The final labeling memoizes in
+    * [[SessionMemo]] like every other persisted dedup stage (bench
+    * rounds reuse it; no cache-entry accumulation).
     */
   def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame =
-    memoized(spark, s"$sfDir#neardup-clusters")(clusterLabels(spark, sfDir))
+    memoized(spark, s"$sfDir#neardup-clusters") {
+      connectedComponents(minhashLsh(spark, sfDir).select("id_a", "id_b"))
+    }
       .select(col("node").as("doc_id"), col("label").as("cluster_id"),
         (col("node") === col("label")).as("is_keeper"))
       .orderBy("doc_id")
 
-  private def clusterLabels(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Connected components over an undirected pair list `(id_a, id_b)`:
+    * one row per distinct endpoint with `label` = the minimum node id
+    * reachable from it. See [[nearDupClusters]] for the algorithm and
+    * its scaling argument. The returned frame is localCheckpoint-backed
+    * (materialized, lineage-free); nearDupClusters parks it in
+    * SessionMemo.
+    */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val pairs = minhashLsh(spark, sfDir).select("id_a", "id_b")
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val edges = pairs.select(col(pairs.columns(0)).as("src"), col(pairs.columns(1)).as("dst"))
+      .unionByName(pairs.select(col(pairs.columns(1)).as("src"), col(pairs.columns(0)).as("dst")))
       .persist(lvl)
     // exact decimal sum: label sums fit 38 digits at any corpus size
     // (a long sum could overflow at ~10^12 large doc_ids)
     def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
       Option(df.agg(sum(col("label").cast("decimal(38,0)")))
         .collect()(0).getDecimal(0))
+    // each round's result is an EAGER localCheckpoint, not a bare persist:
+    // the jump self-join references the round plan twice, so lineage
+    // doubles per round and an O(log n)-round run would blow the logical
+    // plan up exponentially (measured: AQE's explainString OOMed the heap
+    // at round ~10 of a 200-node chain). Checkpointing truncates the plan
+    // to a leaf each round; intermediate checkpoint blocks are freed by
+    // the ContextCleaner once the superseded frames are unreachable. A
+    // cluster deployment that cannot afford executor-local blocks swaps
+    // in reliable checkpoint(), same dataflow.
     var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label")).persist(lvl)
+      .select(col("node"), col("node").as("label")).localCheckpoint()
     try {
       var prevSum = labelSum(labels)
       var converged = prevSum.isEmpty // empty pair graph: nothing to do
       var rounds = 0
       while (!converged) {
         rounds += 1
-        require(rounds <= 50, "nearDupClusters: no fixpoint after 50 rounds")
-        val next = labels.unionByName(
+        // 50 rounds of doubling covers any graph with < 2^49 nodes; hitting
+        // this is a logic bug, not a data shape — fail loud, never hang
+        require(rounds <= 50, "connectedComponents: no fixpoint after 50 rounds")
+        // propagate: each node takes the min label over itself + neighbors
+        // (persisted: the jump step reads it from BOTH sides of its join)
+        val propagated = labels.unionByName(
             edges.join(labels.withColumnRenamed("node", "src"), Seq("src"))
               .select(col("dst").as("node"), col("label")))
           .groupBy("node").agg(min("label").as("label"))
           .persist(lvl)
-        val s = labelSum(next) // also materializes next
-        converged = s == prevSum
-        prevSum = s
-        labels.unpersist()
-        labels = next
+        try {
+          // jump: label := label(label). Every label value is itself a
+          // node of the graph (labels only ever take node-id values), and
+          // the invariant label(u) <= u makes the step monotone; the left
+          // join is 1:1 (node is unique after the groupBy)
+          val next = propagated
+            .join(propagated.select(col("node").as("label"), col("label").as("jump")),
+              Seq("label"), "left")
+            .select(col("node"), coalesce(col("jump"), col("label")).as("label"))
+            .localCheckpoint() // eager: materializes + truncates lineage
+          val s = labelSum(next)
+          converged = s == prevSum
+          prevSum = s
+          labels = next
+        } finally propagated.unpersist()
       }
       labels
-    } catch {
-      case e: Throwable => labels.unpersist(); throw e
     } finally edges.unpersist()
   }
 }

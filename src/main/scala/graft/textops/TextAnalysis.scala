@@ -25,14 +25,21 @@ object TextAnalysis {
     spark.read.parquet(s"$sfDir/documents.parquet")
 
   private def words(c: Column): Column = split(c, " ")
-  private[textops] def nonEmptyWords(c: Column): Column = filter(words(c), w => w =!= "")
+  private[graft] def nonEmptyWords(c: Column): Column = filter(words(c), w => w =!= "")
 
   /** Argmax language guess over the stopword ratios, as one column — the
     * langId query's verdict, reusable by composed pipelines (the composed
     * corpus build filters on it without materializing the ratios).
     */
-  def langGuessCol(text: Column): Column = {
-    val ws = nonEmptyWords(text)
+  def langGuessCol(text: Column): Column = langGuessFromWords(nonEmptyWords(text))
+
+  /** [[langGuessCol]] over a PRE-SPLIT word array — composed pipelines
+    * project the array once and derive every tag column from it, so the
+    * O(len) split does not re-run per metric (CollapseProject re-inlines
+    * an alias referenced only once; a shared `ws` column referenced by
+    * several metrics survives as its own projection).
+    */
+  def langGuessFromWords(ws: Column): Column = {
     val en = round(stopRatio(ws, EnStop), 6)
     val pt = round(stopRatio(ws, PtStop), 6)
     when(en > pt, lit("en")).when(pt > en, lit("pt")).otherwise(lit("und"))
@@ -42,8 +49,13 @@ object TextAnalysis {
     * thresholds and rounding to [[gopherRules]] (shared so a composed
     * pipeline cannot drift from the audited query).
     */
-  def gopherKeepCol(text: Column): Column = {
-    val ws = nonEmptyWords(text)
+  def gopherKeepCol(text: Column): Column =
+    gopherKeepFromWords(text, nonEmptyWords(text))
+
+  /** [[gopherKeepCol]] over a pre-split word array (see
+    * [[langGuessFromWords]] for why composed pipelines pass one).
+    */
+  def gopherKeepFromWords(text: Column, ws: Column): Column = {
     val nw = size(ws).cast("double")
     val chars = aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double")
     val awl = round(when(nw === 0, lit(0.0)).otherwise(chars / nw), 6)

@@ -52,6 +52,32 @@ class DedupClustersSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("a 200-node chain graph converges (pointer jumping, O(log n) rounds)") {
+    // the pathological duplicate-graph shape (template spam): plain
+    // min-label propagation needs diameter rounds (199 here) and would
+    // abort on the 50-round guard; the jump step must converge in ~log2 n
+    import spark.implicits._
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(chain)
+    val rows = labels.collect()
+    assert(rows.length === 200)
+    assert(rows.forall(_.getAs[Long]("label") === 0L), "chain must collapse to min id 0")
+    labels.unpersist()
+
+    // two disjoint chains + a triangle keep distinct component minima
+    val multi = ((100L until 149L).map(i => (i, i + 1)) ++
+      (500L until 549L).map(i => (i, i + 1)) ++
+      Seq((900L, 901L), (901L, 902L), (900L, 902L))).toDF("id_a", "id_b")
+    val ml = Dedup.connectedComponents(multi)
+    val byLabel = ml.collect().groupBy(_.getAs[Long]("label"))
+      .view.mapValues(_.map(_.getAs[Long]("node")).sorted.toSeq).toMap
+    assert(byLabel.keySet === Set(100L, 500L, 900L))
+    assert(byLabel(100L) === (100L to 149L))
+    assert(byLabel(500L) === (500L to 549L))
+    assert(byLabel(900L) === Seq(900L, 901L, 902L))
+    ml.unpersist()
+  }
+
   test("a transitive chain merges into one cluster (a-b, b-c => {a,b,c})") {
     // found in the sf0.01 data: 47 labeled docs from 25 pairs means at
     // least one component has >2 members — check one explicitly
