@@ -43,14 +43,71 @@ object Ivf {
   val TopK = Similarity.TopK
   val QueryVecId = Similarity.QueryVecId
 
-  /** Frozen codebook: centroid c component i = hexint32("ivf-$c-$i")/2^31-1,
+  /** SEED codebook: centroid c component i = hexint32("ivf-$c-$i")/2^31-1,
     * uniform in [-1, 1), exactly representable, identical literal in DuckDB.
+    * k-means init; [[trainedCentroids]] refines it on a sample.
     */
   val Centroids: IndexedSeq[IndexedSeq[Double]] =
     (0 until NumLists).map { c =>
       (0 until Dim).map(i =>
         PortableHash.hexint32(s"ivf-$c-$i").toDouble / 2147483648.0 - 1.0)
     }
+
+  /** Per-mille of vectors in the deterministic training sample
+    * (`h32("ivfs-" || vec_id) % 1000 < threshold` — reproducible under
+    * retry, like every sampling decision in this library).
+    */
+  val TrainSampleThreshold = 250
+
+  /** Centroid-update quantization: components are rounded to multiples of
+    * 1/QuantScale BEFORE summing, so the per-cluster sums are exact
+    * integers — order-independent and bit-identical across engines — and
+    * the mean is ONE correctly-rounded IEEE division both Spark and the
+    * DuckDB oracle agree on. (A raw double sum would depend on Spark's
+    * partition-order reduction and could never be oracle-verified.)
+    */
+  val QuantScale = 1024
+
+  /** One k-means refinement pass over the deterministic sample: assign
+    * each sample vector to its nearest SEED centroid, replace each
+    * centroid with the (quantized) mean of its assigned vectors; a list
+    * that attracted no sample keeps its seed. Runs as ONE distributed
+    * aggregation (groupBy list, 64 integer sums + count — map-side
+    * combined, NumLists rows collected), so training cost is a single
+    * pass over the sample at any corpus size — the same regime as
+    * production IVF training (FAISS trains on a bounded sample too).
+    * Memoized per sf dir (bench rounds and the topK query share it).
+    */
+  def trainedCentroids(spark: SparkSession, sfDir: String): IndexedSeq[IndexedSeq[Double]] =
+    trainedCache.computeIfAbsent(sfDir, _ => trainCodebook(spark, sfDir))
+
+  private val trainedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[IndexedSeq[Double]]]()
+
+  private def trainCodebook(spark: SparkSession,
+      sfDir: String): IndexedSeq[IndexedSeq[Double]] = {
+    val samp = Similarity.loadEmb(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .where(pmod(PortableHash.hexint32(
+        concat(lit("ivfs-"), col("vec_id").cast("string"))), lit(1000L))
+        < TrainSampleThreshold)
+    val aggs = (0 until Dim).map(i =>
+      sum(round(element_at(col("e"), i + 1) * QuantScale).cast("long")).as(s"s$i")) :+
+      count(lit(1)).as("n")
+    val rows = samp.select(ivfAssign(col("e")).as("cid"), col("e"))
+      .groupBy("cid").agg(aggs.head, aggs.tail: _*)
+      .collect() // bounded: at most NumLists rows
+    val byCid = rows.map(r => r.getAs[Int]("cid") -> r).toMap
+    (0 until NumLists).map { c =>
+      byCid.get(c) match {
+        case Some(r) =>
+          val n = r.getAs[Long]("n")
+          (0 until Dim).map(i =>
+            r.getAs[Long](s"s$i").toDouble / (QuantScale.toDouble * n))
+        case None => Centroids(c)
+      }
+    }
+  }
 
   /** DuckDB literal for the codebook: [[...], [...], ...]. */
   def duckCentroids: String =
@@ -66,16 +123,17 @@ object Ivf {
     d
   }
 
-  /** Indices of the `n` nearest centroids, ordered by (distance, index) —
-    * strict-less keeps the lower index on ties, matching the columnar
-    * `array_position(dists, array_min(dists))` and the oracle's
-    * `ORDER BY dist, cid`.
+  /** Indices of the `n` nearest centroids of `cb`, ordered by
+    * (distance, index) — strict-less keeps the lower index on ties,
+    * matching the columnar `array_position(dists, array_min(dists))` and
+    * the oracle's `ORDER BY dist, cid`.
     */
+  def nearestLists(cb: IndexedSeq[IndexedSeq[Double]], v: Array[Double],
+      n: Int): Seq[Int] =
+    cb.indices.map(c => (distSq(v, cb(c)), c)).sortBy(identity).take(n).map(_._2)
+
   def nearestLists(v: Array[Double], n: Int): Seq[Int] =
-    Centroids.indices
-      .map(c => (distSq(v, Centroids(c)), c))
-      .sortBy(identity)
-      .take(n).map(_._2)
+    nearestLists(Centroids, v, n)
 
   /** Nearest-centroid id — Scala twin of [[IvfAssignExpr]]. */
   def assignScala(v: Array[Double]): Int = nearestLists(v, 1).head
@@ -93,16 +151,22 @@ object Ivf {
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
-  def ivfAssign(e: Column): Column =
-    ColumnShim.column(IvfAssignExpr(ColumnShim.expression(e)))
+  def ivfAssign(e: Column): Column = ivfAssign(e, Centroids)
+
+  def ivfAssign(e: Column, cb: IndexedSeq[IndexedSeq[Double]]): Column =
+    ColumnShim.column(IvfAssignExpr(ColumnShim.expression(e), cb))
 
   private def dot(a: Column, b: Column): Column = Similarity.dot(a, b)
 
-  /** The `sim_topk_ivf` driver query: build the inverted-list assignment,
-    * probe the query's [[NProbe]] nearest lists, exact-cosine rank the
-    * survivors. Candidate fraction ~NProbe/NumLists of the corpus.
+  /** The `sim_topk_ivf` driver query: train the codebook (one k-means
+    * pass over the deterministic sample), build the inverted-list
+    * assignment against it, probe the query's [[NProbe]] nearest lists,
+    * exact-cosine rank the survivors. Candidate fraction ~NProbe/NumLists
+    * of the corpus. The DuckDB oracle replays the WHOLE chain including
+    * training (quantized means make it bit-exact cross-engine).
     */
   def topK(spark: SparkSession, sfDir: String): DataFrame = {
+    val cb = trainedCentroids(spark, sfDir)
     // memoized like the sibling ANN queries: the normalized vector table
     // is a built-once index, and both the driver-side query-row head()
     // and the main scan read the persisted copy
@@ -119,9 +183,9 @@ object Ivf {
       .select("e", "nrm").head()
     val qv = qRow.getSeq[Double](0).toArray
     val qnrm = qRow.getDouble(1)
-    val probes = nearestLists(qv, NProbe)
+    val probes = nearestLists(cb, qv, NProbe)
     vecs.where(col("vec_id") =!= QueryVecId)
-      .withColumn("list_id", ivfAssign(col("e")))
+      .withColumn("list_id", ivfAssign(col("e"), cb))
       .where(col("list_id").isin(probes: _*))
       .select(col("vec_id"), col("label"),
         round(dot(col("e"), typedLit(qv.toSeq)) / (col("nrm") * lit(qnrm)), 6)
@@ -131,15 +195,17 @@ object Ivf {
   }
 }
 
-/** Catalyst expression wrapping [[Ivf.assignScala]]: nearest-centroid list
-  * id of a double vector in one pass (the columnar twin runs NumLists
-  * interpreted folds per row).
+/** Catalyst expression wrapping the nearest-centroid assignment against a
+  * literal codebook (seed or trained): list id of a double vector in one
+  * pass (the columnar twin runs NumLists interpreted folds per row).
   */
-case class IvfAssignExpr(child: Expression) extends UnaryExpression
+case class IvfAssignExpr(child: Expression,
+    centroids: IndexedSeq[IndexedSeq[Double]]) extends UnaryExpression
     with CodegenFallback {
   override def dataType: DataType = IntegerType
   override def nullSafeEval(input: Any): Any =
-    Ivf.assignScala(input.asInstanceOf[ArrayData].toDoubleArray())
+    Ivf.nearestLists(centroids,
+      input.asInstanceOf[ArrayData].toDoubleArray(), 1).head
   override protected def withNewChildInternal(newChild: Expression): IvfAssignExpr =
     copy(child = newChild)
   override def prettyName: String = "ivf_assign"

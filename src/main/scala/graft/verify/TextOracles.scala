@@ -421,22 +421,54 @@ FROM cand c JOIN nv n ON n.vec_id = c.vec_id, q
 ORDER BY sim DESC, n.vec_id LIMIT ${Similarity.TopK}"""
   }
 
-  /** IVF top-k (mirrors [[graft.textops.Ivf.topK]]): assign every vector
-    * to its nearest frozen-codebook centroid (ORDER BY dist, cid == the
-    * kernel's strict-less first-wins argmin), probe the query's NProbe
-    * nearest lists, exact-cosine rank the survivors.
+  /** IVF top-k (mirrors [[graft.textops.Ivf.topK]]), INCLUDING the
+    * k-means training pass: sample vectors (deterministic hash
+    * threshold), assign each to its nearest SEED centroid (ORDER BY
+    * dist, cid == the kernel's strict-less first-wins argmin), replace
+    * each centroid with the quantized mean of its sample (integer sums →
+    * one IEEE division, bit-exact vs Spark's distributed aggregation;
+    * empty lists keep their seed), then assign the full corpus against
+    * the TRAINED codebook, probe the query's NProbe nearest lists, and
+    * exact-cosine rank the survivors.
     */
   val ivfTopK: String = {
     import graft.textops.Ivf
     val C = Ivf.NumLists
+    val D = graft.textops.Similarity.Dim
+    val Q = Ivf.QuantScale
     s"""WITH $embCte,
 cb AS (SELECT ${Ivf.duckCentroids} AS cs),
 nv AS (SELECT vec_id, label, v, ${duckNorm("v")} AS nrm FROM e),
-dist AS (
+samp AS (
+  SELECT vec_id, v FROM e
+  WHERE ${h32("'ivfs-' || CAST(vec_id AS VARCHAR)")} % 1000 < ${Ivf.TrainSampleThreshold}),
+sdist AS (
   SELECT vec_id, CAST(u.c AS INT) AS cid,
-    list_sum(list_transform(range(${graft.textops.Similarity.Dim}), i ->
+    list_sum(list_transform(range($D), i ->
       (v[i+1] - cs[CAST(u.c AS INT)+1][i+1]) * (v[i+1] - cs[CAST(u.c AS INT)+1][i+1]))) AS d
-  FROM e, cb, UNNEST(range($C)) u(c)),
+  FROM samp, cb, UNNEST(range($C)) u(c)),
+sassign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM sdist)
+  WHERE rn = 1),
+expl AS (
+  SELECT a.cid, CAST(u.i AS INT) AS i,
+    CAST(round(s.v[CAST(u.i AS INT)+1] * $Q) AS BIGINT) AS qq
+  FROM sassign a JOIN samp s ON s.vec_id = a.vec_id, UNNEST(range($D)) u(i)),
+sums AS (SELECT cid, i, SUM(qq) AS sq, COUNT(*) AS n FROM expl GROUP BY cid, i),
+tvec AS (
+  SELECT cid, list(CAST(sq AS DOUBLE) / ($Q.0 * n) ORDER BY i) AS vec
+  FROM sums GROUP BY cid),
+allc AS (SELECT CAST(u.c AS INT) AS cid FROM UNNEST(range($C)) u(c)),
+trained AS (
+  SELECT a.cid, COALESCE(t.vec, cs[a.cid + 1]) AS vec
+  FROM allc a CROSS JOIN cb LEFT JOIN tvec t ON t.cid = a.cid),
+dist AS (
+  SELECT e.vec_id, t.cid,
+    list_sum(list_transform(range($D), i ->
+      (v[i+1] - t.vec[i+1]) * (v[i+1] - t.vec[i+1]))) AS d
+  FROM e, trained t),
 assign AS (
   SELECT vec_id, cid AS list_id FROM (
     SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn

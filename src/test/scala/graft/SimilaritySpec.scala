@@ -102,18 +102,36 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(ivf.nonEmpty && ivf.length <= Ivf.TopK)
     val sims = ivf.map(_.getDouble(2)).toSeq
     assert(sims === sims.sorted.reverse)
-    // brute-force agreement on the TRUE nearest is data-dependent for a
-    // random (untrained) codebook; what IVF guarantees is that every
-    // returned candidate lives in a probed list
-    val probed = Ivf.nearestLists(
+    // brute-force agreement on the TRUE nearest is data-dependent at
+    // NProbe < NumLists; what IVF guarantees is that every returned
+    // candidate lives in a list the query probed — under the TRAINED
+    // codebook the query ran with
+    val cb = Ivf.trainedCentroids(spark, sfDir)
+    val probed = Ivf.nearestLists(cb,
       Similarity.loadEmb(spark, sfDir)
         .where(col("vec_id") === Ivf.QueryVecId)
         .select(col("embedding").cast("array<double>"))
         .head().getSeq[Double](0).toArray, Ivf.NProbe).toSet
     val emb = Similarity.loadEmb(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-    val listOf = emb.select(col("vec_id"), Ivf.ivfAssign(col("e")))
+    val listOf = emb.select(col("vec_id"), Ivf.ivfAssign(col("e"), cb))
       .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
     ivf.foreach(r => assert(probed.contains(listOf(r.getLong(0)))))
+  }
+
+  test("IVF training tightens the codebook: mean in-list distance shrinks") {
+    import graft.textops.Ivf
+    val emb = Similarity.loadEmb(spark, sfDir)
+      .select(col("embedding").cast("array<double>").as("e"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cb = Ivf.trainedCentroids(spark, sfDir)
+    assert(cb !== Ivf.Centroids) // training moved at least one centroid
+    def cost(c: IndexedSeq[IndexedSeq[Double]]): Double =
+      emb.map(v => c.map(ct => Ivf.distSq(v, ct)).min).sum / emb.length
+    // one k-means pass can only lower the quantization objective on the
+    // sample; on the full corpus it must at least not get dramatically
+    // worse — assert the trained book is strictly better here
+    assert(cost(cb) < cost(Ivf.Centroids),
+      s"trained=${cost(cb)} seed=${cost(Ivf.Centroids)}")
   }
 }
