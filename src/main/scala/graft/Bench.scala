@@ -119,19 +119,26 @@ object Bench {
     val EffSaneHi = 1.3
     def effSkewed(e: Double): Boolean = e > EffSaneHi || e < EffSaneLo
 
-    /** Indices of the paired reps whose corpus fraction == `frac` (runsN,
-      * runs4N and repFracs are appended together, so indices align).
+    /** A CONSISTENT prefix snapshot of (runsN, runs4N, repFracs): the
+      * shutdown hook can fire between the three adds of a completing rep
+      * (SIGTERM mid-append), and indexing a longer list by a shorter
+      * one's indices would throw inside emit() and lose the artifact.
       */
-    private def fracIdx(frac: Int): Seq[Int] = {
+    def repsSnapshot: (Seq[(Double, Double)], Seq[(Double, Double)], Seq[Int]) = {
       import scala.jdk.CollectionConverters._
-      repFracs.asScala.toSeq.zipWithIndex.filter(_._1 == frac).map(_._2)
+      val a = runsN.asScala.toSeq
+      val b = runs4N.asScala.toSeq
+      val f = repFracs.asScala.toSeq
+      val k = Seq(a.size, b.size, f.size).min
+      (a.take(k), b.take(k), f.take(k))
     }
 
+    def fracIdx(fr: Seq[Int], frac: Int): Seq[Int] =
+      fr.zipWithIndex.filter(_._1 == frac).map(_._2)
+
     /** (wall eff, cpu eff) over best-of the given rep indices. */
-    private def effOver(idx: Seq[Int]): (Double, Double) = {
-      import scala.jdk.CollectionConverters._
-      val rN = runsN.asScala.toSeq
-      val r4N = runs4N.asScala.toSeq
+    def effOver(rN: Seq[(Double, Double)], r4N: Seq[(Double, Double)],
+        idx: Seq[Int]): (Double, Double) = {
       val ratio = cores4N.toDouble / coresN
       val tN = idx.map(rN(_)._1).max; val t4N = idx.map(r4N(_)._1).max
       val cN = idx.map(rN(_)._2).max; val c4N = idx.map(r4N(_)._2).max
@@ -145,24 +152,24 @@ object Bench {
       * the largest frac whose within-group ratio is weather-sane; if none
       * is, the group with the most reps (larger frac on ties).
       */
-    def chosenFrac: Option[Int] = {
-      import scala.jdk.CollectionConverters._
-      val fr = repFracs.asScala.toSeq
+    def chosenFrac(rN: Seq[(Double, Double)], r4N: Seq[(Double, Double)],
+        fr: Seq[Int]): Option[Int] =
       if (fr.isEmpty) None
       else {
-        val groups = fr.distinct.sortBy(-_)
-        Some(groups.find(g => !effSkewed(effOver(fracIdx(g))._1))
-          .getOrElse(groups.maxBy(g => (fracIdx(g).size, g))))
+        val groups = fr.distinct.sortBy(-(_: Int))
+        Some(groups.find(g => !effSkewed(effOver(rN, r4N, fracIdx(fr, g))._1))
+          .getOrElse(groups.maxBy(g => (fracIdx(fr, g).size, g))))
       }
-    }
 
     /** Wall-ratio efficiency over the chosen frac group so far, None until
       * one rep completed — the rep loop uses this to decide whether the
       * block would ship weather-contaminated and a retry rep is worth the
       * budget. Same group selection as the emitted `efficiency` field.
       */
-    def effWallNow: Option[Double] =
-      chosenFrac.map(g => effOver(fracIdx(g))._1)
+    def effWallNow: Option[Double] = {
+      val (rN, r4N, fr) = repsSnapshot
+      chosenFrac(rN, r4N, fr).map(g => effOver(rN, r4N, fracIdx(fr, g))._1)
+    }
 
     def emit(): Unit = if (printed.compareAndSet(false, true)) {
       Option(liveChild).foreach { p => p.destroyForcibly(); () }
@@ -176,8 +183,7 @@ object Bench {
       val timed = results.count(_._2 >= 0)
       val total = results.map(_._2).filter(_ >= 0).sum
       def arr(xs: Seq[Double]) = xs.map(x => f"$x%.1f").mkString("[", ",", "]")
-      val rN = runsN.asScala.toSeq
-      val r4N = runs4N.asScala.toSeq
+      val (rN, r4N, frSnap) = repsSnapshot
       // "efficiency" = WALL-clock ratio (the honest headline; sensitive to
       // stragglers/idle loss); "efficiency_cpu" = CPU-time-derived ratio
       // (steal-immune cross-check — rationale in BASELINE.md)
@@ -186,8 +192,8 @@ object Bench {
         // full/reduced pools can let a cache-resident quarter corpus
         // overstate one level's best and skew the very ratio the retry
         // reps exist to repair
-        val g = chosenFrac.get
-        val gi = fracIdx(g)
+        val g = chosenFrac(rN, r4N, frSnap).get
+        val gi = fracIdx(frSnap, g)
         val tN = gi.map(rN(_)._1).max; val t4N = gi.map(r4N(_)._1).max
         val cN = gi.map(rN(_)._2).max; val c4N = gi.map(r4N(_)._2).max
         val ratio = cores4N.toDouble / coresN
@@ -199,7 +205,7 @@ object Bench {
         // when the N child ran entirely inside a storm); say so in the
         // artifact instead of letting the headline stand alone
         val mixedNote =
-          if (repFracs.asScala.toSeq.distinct.size > 1)
+          if (frSnap.distinct.size > 1)
             s" (efficiency over the frac=$g% reps only; other-frac reps excluded from the best-of pool)"
           else ""
         val note =
@@ -217,7 +223,7 @@ object Bench {
           s""""cpu_runs_n":${arr(rN.map(_._2))},"cpu_runs_4n":${arr(r4N.map(_._2))},""" +
           s""""pass_secs_n":${passSecsN.asScala.map(p => p.map(x => f"$x%.1f").mkString("[", ",", "]")).mkString("[", ",", "]")},""" +
           s""""pass_secs_4n":${passSecs4N.asScala.map(p => p.map(x => f"$x%.1f").mkString("[", ",", "]")).mkString("[", ",", "]")},""" +
-          s""""rep_fracs":${repFracs.asScala.mkString("[", ",", "]")}$note}"""
+          s""""rep_fracs":${frSnap.mkString("[", ",", "]")}$note}"""
       }
       val degradedJson = degraded.asScala.toSeq.sorted
         .map(n => s""""$n"""").mkString("[", ",", "]")
@@ -378,18 +384,18 @@ object Bench {
   private val CanaryQueries = Seq("dedup_simhash", "text_tokens", "corpus_pack")
   private val CanaryCalmSec = 0.75
 
-  /** Time `force(mk)` with a hard wall cap enforced by job-group
-    * cancellation: a storm-inflated (or pathological) query then costs at
-    * most `capSec`, not minutes — the round-4 failure mode was exactly
-    * per-query 45-80 s storm times with no cap. Returns -1 on cancel or
-    * failure. The watchdog is a daemon and exits as soon as the query
+  /** Run `body` with a hard wall cap enforced by job-group cancellation:
+    * a storm-inflated (or pathological) job then costs at most `capSec`,
+    * not minutes — the round-4 failure mode was exactly per-query 45-80 s
+    * storm times with no cap. Returns the wall seconds, or -1 on cancel /
+    * failure. The watchdog is a daemon and exits as soon as the job
     * finishes.
     */
-  private def timedForce(s: SparkSession, mk: => DataFrame, capSec: Double): Double = {
+  private def timedRun(s: SparkSession, capSec: Double)(body: => Unit): Double = {
     val group = s"bench-${java.util.UUID.randomUUID()}"
     @volatile var finished = false
     val sc = s.sparkContext
-    sc.setJobGroup(group, "graft-bench capped query", interruptOnCancel = true)
+    sc.setJobGroup(group, "graft-bench capped job", interruptOnCancel = true)
     val watchdog = new Thread(() => {
       val deadline = System.nanoTime() + (capSec * 1e9).toLong
       while (!finished && System.nanoTime() < deadline) Thread.sleep(50)
@@ -397,10 +403,13 @@ object Bench {
     })
     watchdog.setDaemon(true)
     watchdog.start()
-    try time(force(mk))
+    try time(body)
     catch { case _: Throwable => -1.0 }
     finally { finished = true; sc.clearJobGroup() }
   }
+
+  private def timedForce(s: SparkSession, mk: => DataFrame, capSec: Double): Double =
+    timedRun(s, capSec)(force(mk))
 
   def main(args: Array[String]): Unit = {
     // the f interpolator is locale-sensitive: a comma-decimal default
@@ -454,6 +463,12 @@ object Bench {
     // the pinned calm sum — or a warm pass that itself blew 45 s — means
     // storm. Cost: calm ~8 s, storm <= 135 s; round 4 lost 1096 s to the
     // missing detection.
+    // the pinned calm constants describe the driver configuration (the
+    // /root/testdata sf dirs on this host); an unknown sfDir would make a
+    // legitimately-larger cold trio read as a storm, silently shipping
+    // degraded numbers — so auto-detection only arms on known dirs
+    val pinsApply = Seq("sf0.1", "sf0.01", "sf0.001")
+      .exists(s => sfDir.stripSuffix("/").endsWith(s))
     val canary = session(cpus)
     val canaryFns = CanaryQueries.flatMap(n => SparkEntry.queries.get(n))
     val warmSum = canaryFns.map { fn =>
@@ -462,16 +477,16 @@ object Bench {
     }.sum
     if (warmSum > 45.0) { // >=5x the ~8 s calm COLD trio: conclusive alone
       State.canaryFactor = warmSum / CanaryCalmSec
-      State.stormMode = true
+      State.stormMode = pinsApply
     } else {
       val timedSum = canaryFns.map { fn =>
         val t = timedForce(canary, fn(canary, sfDir), 30.0)
         if (t < 0) 30.0 else t
       }.sum
       State.canaryFactor = timedSum / CanaryCalmSec
-      State.stormMode = State.canaryFactor > stormThresh
+      State.stormMode = pinsApply && State.canaryFactor > stormThresh
     }
-    System.err.println(f"[bench] canary: factor ${State.canaryFactor}%.1f (storm=${State.stormMode}, warm ${warmSum}%.1f s)")
+    System.err.println(f"[bench] canary: factor ${State.canaryFactor}%.1f (storm=${State.stormMode}, warm ${warmSum}%.1f s, pins_apply=$pinsApply)")
 
     // the degraded query dir: the sibling sf0.01 (an order of magnitude
     // less data — even 20x-storm-inflated queries finish in seconds)
@@ -488,15 +503,20 @@ object Bench {
     // invocations) ----
     val repCosts = scala.collection.mutable.ArrayBuffer.empty[Double]
 
-    def prepScratch(repMult: Int): Unit = {
-      // prep: materialize the replicated span table (not timed). spanMult
-      // fattens each doc (repeat + re-offset) so per-doc kernel work
-      // dominates fixed overheads — the compute regime the claim is about
+    var scratchReady = false
+    /** Materialize the replicated span table (not timed), under a hard
+      * wall cap — prep was the last un-capped job in the storm design,
+      * and a storm-inflated write must not eat the phases the cap budget
+      * protects. Returns false (and skips scaling) on cap/failure.
+      */
+    def prepScratch(repMult: Int, capSec: Double): Boolean = {
+      // spanMult fattens each doc (repeat + re-offset) so per-doc kernel
+      // work dominates fixed overheads — the regime the claim is about
       val spanMult = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPAN_MULT", "8").toInt
       val skipPrep = sys.env.get("SPARK_GRAFT_BENCH_SKIP_PREP").contains("1") &&
         new java.io.File(scratch).exists()
       val prep = session(cpus)
-      if (!skipPrep) {
+      val ok = skipPrep || {
         val base = graft.synth.SpanSynth.docsInput(prep, sfDir)
         val fat = flatten(array_repeat(col("spans"), spanMult))
         val refat = transform(fat, (sp, i) => struct(
@@ -508,11 +528,18 @@ object Bench {
           .select(explode(sequence(lit(0), lit(repMult - 1))).as("r"), col("doc_id"),
             refat.as("spans"))
           .select(concat(col("doc_id"), lit("-"), col("r")).as("doc_id"), col("spans"))
-        replicated.repartition(32).write.mode("overwrite").parquet(scratch)
+        timedRun(prep, capSec) {
+          replicated.repartition(32).write.mode("overwrite").parquet(scratch)
+        } >= 0
       }
-      State.nDocs = prep.read.parquet(scratch).count()
+      if (ok) State.nDocs = prep.read.parquet(scratch).count()
       prep.stop()
-      System.err.println(f"[bench] prepared ${State.nDocs} docs at $scratch (${State.elapsed}%.0f s elapsed)")
+      if (ok)
+        System.err.println(f"[bench] prepared ${State.nDocs} docs at $scratch (${State.elapsed}%.0f s elapsed)")
+      else
+        System.err.println(f"[bench] prep exceeded its ${capSec}%.0f s cap — scaling deferred (${State.elapsed}%.0f s elapsed)")
+      scratchReady = ok
+      ok
     }
 
     /** Interleaved paired reps, appended to the shared State pools.
@@ -599,9 +626,11 @@ object Bench {
     val stormBaseFrac = math.max(1, stormRepMult * 100 / rep)
     if (!skipScaling && State.stormMode) {
       canary.stop()
-      prepScratch(stormRepMult)
-      runReps(target = 1, baseFrac = stormBaseFrac, reserveSec = 300.0,
-        childCapSec = 270.0, weatherExtras = 0)
+      // prep cap 360 s: a storm-trapped prep defers scaling to the
+      // post-query budget instead of eating the query reserve
+      if (prepScratch(stormRepMult, 360.0))
+        runReps(target = 1, baseFrac = stormBaseFrac, reserveSec = 300.0,
+          childCapSec = 270.0, weatherExtras = 0)
     }
 
     // ---- query phase: interleaved rounds + per-query min (see scaladoc),
@@ -661,13 +690,15 @@ object Bench {
     // ---- remaining scaling reps ----
     if (!skipScaling) {
       if (State.stormMode) {
-        // same reduced scratch; whatever budget the queries left
-        runReps(target = maxReps, baseFrac = stormBaseFrac, reserveSec = 0.0,
-          childCapSec = Double.MaxValue, weatherExtras = 3)
+        // same reduced scratch (re-prepped if the capped storm prep was
+        // cancelled); whatever budget the queries left
+        if (scratchReady || prepScratch(stormRepMult, math.max(60.0, remaining - 150)))
+          runReps(target = maxReps, baseFrac = stormBaseFrac, reserveSec = 0.0,
+            childCapSec = Double.MaxValue, weatherExtras = 3)
       } else if (remaining > 300) {
-        prepScratch(rep)
-        runReps(target = maxReps, baseFrac = 100, reserveSec = 0.0,
-          childCapSec = Double.MaxValue, weatherExtras = 3)
+        if (prepScratch(rep, math.max(60.0, remaining - 180)))
+          runReps(target = maxReps, baseFrac = 100, reserveSec = 0.0,
+            childCapSec = Double.MaxValue, weatherExtras = 3)
       } else {
         System.err.println(f"[bench] budget: scaling phase skipped entirely (${remaining}%.0f s left)")
       }

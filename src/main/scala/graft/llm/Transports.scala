@@ -73,6 +73,40 @@ object LlmWire {
     None
   }
 
+  /** The substring covering `key`'s ARRAY value (from its '[' through the
+    * matching ']'), bracket-depth scanned with string/escape awareness —
+    * so a field search can be bounded to exactly that array instead of
+    * "everything after the key" (a trailing sibling structure must not
+    * leak into the search). None if the key is absent or its value is not
+    * an array.
+    */
+  def arraySlice(json: String, key: String): Option[String] = {
+    val k = json.indexOf("\"" + key + "\"")
+    if (k < 0) return None
+    var i = k + key.length + 2
+    while (i < json.length && (json(i).isWhitespace || json(i) == ':')) i += 1
+    if (i >= json.length || json(i) != '[') return None
+    val start = i
+    var depth = 0
+    var inStr = false
+    while (i < json.length) {
+      val c = json(i)
+      if (inStr) {
+        if (c == '\\') i += 1 // skip the escaped char
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '[' | '{' => depth += 1
+        case ']' | '}' =>
+          depth -= 1
+          if (depth == 0) return Some(json.substring(start, i + 1))
+        case _ =>
+      }
+      i += 1
+    }
+    None // unterminated
+  }
+
   /** Parse the JSON string starting at `start` (which must be the opening
     * quote); returns the unescaped value.
     */
@@ -197,13 +231,12 @@ case class GeminiTransport(apiKey: String,
   override def generate(model: String, prompt: String): String = {
     val body = post(s"$endpoint/models/$model:generateContent",
       LlmWire.geminiPayload(prompt), keyHeader)
-    // anchor the "text" search INSIDE the candidates path: a reply where a
-    // non-candidate structure (promptFeedback, citation metadata) precedes
-    // candidates must not bind the wrong field
-    val cand = body.indexOf("\"candidates\"")
-    if (cand < 0)
-      throw new DeterministicLlmError("no 'candidates' in Gemini reply")
-    requiredField(body.substring(cand), "text", "Gemini")
+    // bound the "text" search to the candidates ARRAY itself: a
+    // non-candidate text-bearing structure (promptFeedback, citation
+    // metadata) before OR after the array must never bind as the reply
+    val cand = LlmWire.arraySlice(body, "candidates")
+      .getOrElse(throw new DeterministicLlmError("no 'candidates' in Gemini reply"))
+    requiredField(cand, "text", "Gemini")
   }
   override def live(): Boolean = getOk(s"$endpoint/models", keyHeader)
 }

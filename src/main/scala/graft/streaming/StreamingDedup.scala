@@ -50,14 +50,26 @@ object StreamingDedup {
 
   /** Group handler: emits every doc of the group, flagging all but the
     * first-ever-seen (earlier batch wins; within this batch, min doc_id).
+    * One O(n) min pass, NO sort: a degenerate hash (empty content
+    * duplicated across a whole batch) lands its group in one task, and
+    * an O(n log n) sort there is pure waste when only the minimum is
+    * needed.
     */
   def dedupGroup(key: Long, rows: Iterator[DocHash],
       state: GroupState[Boolean]): Iterator[DedupRow] = {
     val seenBefore = state.getOption.getOrElse(false)
-    val batch = rows.toArray.sortBy(_.doc_id)
+    val batch = rows.toArray
     if (!seenBefore && batch.nonEmpty) state.update(true)
-    batch.iterator.zipWithIndex.map { case (d, i) =>
-      DedupRow(d.doc_id, d.content_hash, seenBefore || i > 0)
+    if (seenBefore)
+      batch.iterator.map(d => DedupRow(d.doc_id, d.content_hash, true))
+    else {
+      val minId = batch.iterator.map(_.doc_id).min
+      var keeperEmitted = false // a re-delivered duplicate id keeps ONE keeper
+      batch.iterator.map { d =>
+        val keeper = !keeperEmitted && d.doc_id == minId
+        if (keeper) keeperEmitted = true
+        DedupRow(d.doc_id, d.content_hash, !keeper)
+      }
     }
   }
 

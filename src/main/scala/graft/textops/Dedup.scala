@@ -276,8 +276,8 @@ object Dedup {
   /** Connected components over an undirected pair list `(id_a, id_b)`:
     * one row per distinct endpoint with `label` = the minimum node id
     * reachable from it. See [[nearDupClusters]] for the algorithm and
-    * its scaling argument. The returned frame is localCheckpoint-backed
-    * (materialized, lineage-free); nearDupClusters parks it in
+    * its scaling argument. The returned frame is persisted behind a
+    * plan-truncating leaf (materialized); nearDupClusters parks it in
     * SessionMemo.
     */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
@@ -290,19 +290,24 @@ object Dedup {
     def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
       Option(df.agg(sum(col("label").cast("decimal(38,0)")))
         .collect()(0).getDecimal(0))
-    // each round's result is an EAGER localCheckpoint, not a bare persist:
-    // the jump self-join references the round plan twice, so lineage
-    // doubles per round and an O(log n)-round run would blow the logical
-    // plan up exponentially (measured: AQE's explainString OOMed the heap
-    // at round ~10 of a 200-node chain). Checkpointing truncates the plan
-    // to a leaf each round; intermediate checkpoint blocks are freed by
-    // the ContextCleaner once the superseded frames are unreachable. A
-    // cluster deployment that cannot afford executor-local blocks swaps
-    // in reliable checkpoint(), same dataflow.
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label")).localCheckpoint()
+    // each round's result is re-rooted as a fresh LogicalRDD leaf
+    // (createDataFrame over the persisted rows): the jump self-join
+    // references the round plan twice, so a bare persist would let the
+    // LOGICAL plan double per round and an O(log n)-round run blows it
+    // up exponentially (measured: AQE's explainString OOMed the heap at
+    // round ~10 of a 200-node chain). The leaf truncates the plan each
+    // round while the superseded round's blocks are unpersisted
+    // DETERMINISTICALLY — on success and on failure — instead of waiting
+    // on driver GC + ContextCleaner.
+    val spark = pairs.sparkSession
+    def rooted(df: DataFrame): DataFrame = {
+      val out = spark.createDataFrame(df.rdd, df.schema).persist(lvl)
+      out
+    }
+    var labels = rooted(edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label")))
     try {
-      var prevSum = labelSum(labels)
+      var prevSum = labelSum(labels) // materializes the persist
       var converged = prevSum.isEmpty // empty pair graph: nothing to do
       var rounds = 0
       while (!converged) {
@@ -322,18 +327,21 @@ object Dedup {
           // node of the graph (labels only ever take node-id values), and
           // the invariant label(u) <= u makes the step monotone; the left
           // join is 1:1 (node is unique after the groupBy)
-          val next = propagated
+          val next = rooted(propagated
             .join(propagated.select(col("node").as("label"), col("label").as("jump")),
               Seq("label"), "left")
-            .select(col("node"), coalesce(col("jump"), col("label")).as("label"))
-            .localCheckpoint() // eager: materializes + truncates lineage
-          val s = labelSum(next)
+            .select(col("node"), coalesce(col("jump"), col("label")).as("label")))
+          val s = try labelSum(next) // materializes next
+            catch { case e: Throwable => next.unpersist(); throw e }
           converged = s == prevSum
           prevSum = s
+          labels.unpersist()
           labels = next
         } finally propagated.unpersist()
       }
       labels
+    } catch {
+      case e: Throwable => labels.unpersist(); throw e
     } finally edges.unpersist()
   }
 }

@@ -89,6 +89,18 @@ class TransportLoopbackSpec extends AnyFunSuite with SparkSpec {
       }
       assert(e.getMessage.contains("candidates"))
     }
+    // a TEXT-LESS candidates array followed by a text-bearing sibling:
+    // the search is bounded to the array, so this must dead-letter, not
+    // return "BLOCKED" as a fake successful reply
+    withServer { _ =>
+      (200, """{"candidates":[{"finishReason":"SAFETY"}],""" +
+        """"promptFeedback":{"blockReason":{"text":"BLOCKED"}}}""")
+    } { base =>
+      val e = intercept[DeterministicLlmError] {
+        GeminiTransport("k", base).generate("m", "p")
+      }
+      assert(e.getMessage.contains("no 'text'"))
+    }
     // malformed \u escape: deterministic (same bytes re-parse identically),
     // must NOT ride the transient retry path
     // the body contains a literal backslash-u with non-hex digits (built by
