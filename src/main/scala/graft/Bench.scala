@@ -124,13 +124,16 @@ object Bench {
       * (SIGTERM mid-append), and indexing a longer list by a shorter
       * one's indices would throw inside emit() and lose the artifact.
       */
-    def repsSnapshot: (Seq[(Double, Double)], Seq[(Double, Double)], Seq[Int]) = {
+    def repsSnapshot: (Seq[(Double, Double)], Seq[(Double, Double)], Seq[Int],
+        Seq[Seq[Double]], Seq[Seq[Double]]) = {
       import scala.jdk.CollectionConverters._
       val a = runsN.asScala.toSeq
       val b = runs4N.asScala.toSeq
       val f = repFracs.asScala.toSeq
-      val k = Seq(a.size, b.size, f.size).min
-      (a.take(k), b.take(k), f.take(k))
+      val pN = passSecsN.asScala.toSeq
+      val p4N = passSecs4N.asScala.toSeq
+      val k = Seq(a.size, b.size, f.size, pN.size, p4N.size).min
+      (a.take(k), b.take(k), f.take(k), pN.take(k), p4N.take(k))
     }
 
     def fracIdx(fr: Seq[Int], frac: Int): Seq[Int] =
@@ -167,7 +170,7 @@ object Bench {
       * budget. Same group selection as the emitted `efficiency` field.
       */
     def effWallNow: Option[Double] = {
-      val (rN, r4N, fr) = repsSnapshot
+      val (rN, r4N, fr, _, _) = repsSnapshot
       chosenFrac(rN, r4N, fr).map(g => effOver(rN, r4N, fracIdx(fr, g))._1)
     }
 
@@ -183,7 +186,7 @@ object Bench {
       val timed = results.count(_._2 >= 0)
       val total = results.map(_._2).filter(_ >= 0).sum
       def arr(xs: Seq[Double]) = xs.map(x => f"$x%.1f").mkString("[", ",", "]")
-      val (rN, r4N, frSnap) = repsSnapshot
+      val (rN, r4N, frSnap, pSnapN, pSnap4N) = repsSnapshot
       // "efficiency" = WALL-clock ratio (the honest headline; sensitive to
       // stragglers/idle loss); "efficiency_cpu" = CPU-time-derived ratio
       // (steal-immune cross-check — rationale in BASELINE.md)
@@ -196,9 +199,7 @@ object Bench {
         val gi = fracIdx(frSnap, g)
         val tN = gi.map(rN(_)._1).max; val t4N = gi.map(r4N(_)._1).max
         val cN = gi.map(rN(_)._2).max; val c4N = gi.map(r4N(_)._2).max
-        val ratio = cores4N.toDouble / coresN
-        val effWall = t4N / (ratio * tN)
-        val effCpu = c4N / (ratio * cN)
+        val (effWall, effCpu) = effOver(rN, r4N, gi) // ONE formula definition
         // an efficiency far outside [EffSaneLo, EffSaneHi] means the two
         // levels' best runs sampled DIFFERENT steal weather (one saw a
         // storm the other missed — a measured single-rep artifact hit 11.5
@@ -221,8 +222,8 @@ object Bench {
           s""""cpu_docs_per_sec_n":${f"$cN%.1f"},"cpu_docs_per_sec_4n":${f"$c4N%.1f"},""" +
           s""""wall_runs_n":${arr(rN.map(_._1))},"wall_runs_4n":${arr(r4N.map(_._1))},""" +
           s""""cpu_runs_n":${arr(rN.map(_._2))},"cpu_runs_4n":${arr(r4N.map(_._2))},""" +
-          s""""pass_secs_n":${passSecsN.asScala.map(p => p.map(x => f"$x%.1f").mkString("[", ",", "]")).mkString("[", ",", "]")},""" +
-          s""""pass_secs_4n":${passSecs4N.asScala.map(p => p.map(x => f"$x%.1f").mkString("[", ",", "]")).mkString("[", ",", "]")},""" +
+          s""""pass_secs_n":${pSnapN.map(p => p.map(x => f"$x%.1f").mkString("[", ",", "]")).mkString("[", ",", "]")},""" +
+          s""""pass_secs_4n":${pSnap4N.map(p => p.map(x => f"$x%.1f").mkString("[", ",", "]")).mkString("[", ",", "]")},""" +
           s""""rep_fracs":${frSnap.mkString("[", ",", "]")}$note}"""
       }
       val degradedJson = degraded.asScala.toSeq.sorted
@@ -387,8 +388,10 @@ object Bench {
   /** Run `body` with a hard wall cap enforced by job-group cancellation:
     * a storm-inflated (or pathological) job then costs at most `capSec`,
     * not minutes — the round-4 failure mode was exactly per-query 45-80 s
-    * storm times with no cap. Returns the wall seconds, or -1 on cancel /
-    * failure. The watchdog is a daemon and exits as soon as the job
+    * storm times with no cap. Returns the wall seconds; -1 when the cap
+    * cancelled the job (retry may help once weather/budget changes); -2
+    * on a failure BEFORE the cap (deterministic — retrying the same job
+    * cannot help). The watchdog is a daemon and exits as soon as the job
     * finishes.
     */
   private def timedRun(s: SparkSession, capSec: Double)(body: => Unit): Double = {
@@ -396,20 +399,24 @@ object Bench {
     @volatile var finished = false
     val sc = s.sparkContext
     sc.setJobGroup(group, "graft-bench capped job", interruptOnCancel = true)
+    val t0 = System.nanoTime()
     val watchdog = new Thread(() => {
-      val deadline = System.nanoTime() + (capSec * 1e9).toLong
+      val deadline = t0 + (capSec * 1e9).toLong
       while (!finished && System.nanoTime() < deadline) Thread.sleep(50)
       if (!finished) sc.cancelJobGroup(group)
     })
     watchdog.setDaemon(true)
     watchdog.start()
     try time(body)
-    catch { case _: Throwable => -1.0 }
+    catch {
+      case _: Throwable =>
+        if ((System.nanoTime() - t0) / 1e9 >= capSec - 0.5) -1.0 else -2.0
+    }
     finally { finished = true; sc.clearJobGroup() }
   }
 
   private def timedForce(s: SparkSession, mk: => DataFrame, capSec: Double): Double =
-    timedRun(s, capSec)(force(mk))
+    math.max(timedRun(s, capSec)(force(mk)), -1.0) // callers use -1 = not timed
 
   def main(args: Array[String]): Unit = {
     // the f interpolator is locale-sensitive: a comma-decimal default
@@ -468,7 +475,7 @@ object Bench {
     // legitimately-larger cold trio read as a storm, silently shipping
     // degraded numbers — so auto-detection only arms on known dirs
     val pinsApply = Seq("sf0.1", "sf0.01", "sf0.001")
-      .exists(s => sfDir.stripSuffix("/").endsWith(s))
+      .contains(new java.io.File(sfDir).getName)
     val canary = session(cpus)
     val canaryFns = CanaryQueries.flatMap(n => SparkEntry.queries.get(n))
     val warmSum = canaryFns.map { fn =>
@@ -504,10 +511,13 @@ object Bench {
     val repCosts = scala.collection.mutable.ArrayBuffer.empty[Double]
 
     var scratchReady = false
+    var prepBroken = false // deterministic prep failure: retrying cannot help
     /** Materialize the replicated span table (not timed), under a hard
       * wall cap — prep was the last un-capped job in the storm design,
       * and a storm-inflated write must not eat the phases the cap budget
-      * protects. Returns false (and skips scaling) on cap/failure.
+      * protects. Returns false (and skips scaling) on cap/failure; a
+      * failure BEFORE the cap (disk full, unwritable dir) marks the prep
+      * broken so later phases do not burn budget re-running a doomed job.
       */
     def prepScratch(repMult: Int, capSec: Double): Boolean = {
       // spanMult fattens each doc (repeat + re-offset) so per-doc kernel
@@ -516,6 +526,7 @@ object Bench {
       val skipPrep = sys.env.get("SPARK_GRAFT_BENCH_SKIP_PREP").contains("1") &&
         new java.io.File(scratch).exists()
       val prep = session(cpus)
+      var capped = false
       val ok = skipPrep || {
         val base = graft.synth.SpanSynth.docsInput(prep, sfDir)
         val fat = flatten(array_repeat(col("spans"), spanMult))
@@ -528,16 +539,21 @@ object Bench {
           .select(explode(sequence(lit(0), lit(repMult - 1))).as("r"), col("doc_id"),
             refat.as("spans"))
           .select(concat(col("doc_id"), lit("-"), col("r")).as("doc_id"), col("spans"))
-        timedRun(prep, capSec) {
+        val t = timedRun(prep, capSec) {
           replicated.repartition(32).write.mode("overwrite").parquet(scratch)
-        } >= 0
+        }
+        capped = t == -1.0
+        if (t == -2.0) prepBroken = true
+        t >= 0
       }
       if (ok) State.nDocs = prep.read.parquet(scratch).count()
       prep.stop()
       if (ok)
         System.err.println(f"[bench] prepared ${State.nDocs} docs at $scratch (${State.elapsed}%.0f s elapsed)")
-      else
+      else if (capped)
         System.err.println(f"[bench] prep exceeded its ${capSec}%.0f s cap — scaling deferred (${State.elapsed}%.0f s elapsed)")
+      else
+        System.err.println(f"[bench] prep FAILED before its cap — scaling disabled this run (${State.elapsed}%.0f s elapsed)")
       scratchReady = ok
       ok
     }
@@ -691,8 +707,9 @@ object Bench {
     if (!skipScaling) {
       if (State.stormMode) {
         // same reduced scratch (re-prepped if the capped storm prep was
-        // cancelled); whatever budget the queries left
-        if (scratchReady || prepScratch(stormRepMult, math.max(60.0, remaining - 150)))
+        // cancelled — but not if it FAILED); whatever budget queries left
+        if (scratchReady ||
+            (!prepBroken && prepScratch(stormRepMult, math.max(60.0, remaining - 150))))
           runReps(target = maxReps, baseFrac = stormBaseFrac, reserveSec = 0.0,
             childCapSec = Double.MaxValue, weatherExtras = 3)
       } else if (remaining > 300) {

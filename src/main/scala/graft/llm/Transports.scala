@@ -81,30 +81,43 @@ object LlmWire {
     * an array.
     */
   def arraySlice(json: String, key: String): Option[String] = {
-    val k = json.indexOf("\"" + key + "\"")
-    if (k < 0) return None
-    var i = k + key.length + 2
-    while (i < json.length && (json(i).isWhitespace || json(i) == ':')) i += 1
-    if (i >= json.length || json(i) != '[') return None
-    val start = i
-    var depth = 0
-    var inStr = false
-    while (i < json.length) {
-      val c = json(i)
-      if (inStr) {
-        if (c == '\\') i += 1 // skip the escaped char
-        else if (c == '"') inStr = false
-      } else c match {
-        case '"' => inStr = true
-        case '[' | '{' => depth += 1
-        case ']' | '}' =>
-          depth -= 1
-          if (depth == 0) return Some(json.substring(start, i + 1))
-        case _ =>
+    val needle = "\"" + key + "\""
+    var from = 0
+    // keep scanning like stringField: a string VALUE equal to the needle
+    // (e.g. {"note":"candidates"}) must not end the search
+    while (from >= 0 && from < json.length) {
+      val k = json.indexOf(needle, from)
+      if (k < 0) return None
+      var i = k + needle.length
+      while (i < json.length && json(i).isWhitespace) i += 1
+      if (i < json.length && json(i) == ':') {
+        i += 1
+        while (i < json.length && json(i).isWhitespace) i += 1
+        if (i < json.length && json(i) == '[') {
+          val start = i
+          var depth = 0
+          var inStr = false
+          while (i < json.length) {
+            val c = json(i)
+            if (inStr) {
+              if (c == '\\') i += 1 // skip the escaped char
+              else if (c == '"') inStr = false
+            } else c match {
+              case '"' => inStr = true
+              case '[' | '{' => depth += 1
+              case ']' | '}' =>
+                depth -= 1
+                if (depth == 0) return Some(json.substring(start, i + 1))
+              case _ =>
+            }
+            i += 1
+          }
+          return None // unterminated array
+        }
       }
-      i += 1
+      from = k + needle.length
     }
-    None // unterminated
+    None
   }
 
   /** Parse the JSON string starting at `start` (which must be the opening

@@ -48,28 +48,17 @@ object CorpusStream {
       lang_guess: String, quality_keep: Boolean, is_duplicate: Boolean)
 
   /** Group handler: flags every doc of the hash group except the
-    * first-ever-seen (earlier batch wins; within this batch, min doc_id).
-    * One O(n) min pass, NO sort — same skew argument as
-    * [[StreamingDedup.dedupGroup]]: a degenerate hash group in one task
-    * needs only its minimum, not an ordering.
+    * first-ever-seen (earlier batch wins; within this batch, min doc_id)
+    * — keeper selection shared with [[StreamingDedup.keeperFlags]].
     */
   def flagGroup(key: Long, rows: Iterator[TaggedDoc],
       state: GroupState[Boolean]): Iterator[FlaggedDoc] = {
     val seenBefore = state.getOption.getOrElse(false)
     val batch = rows.toArray
     if (!seenBefore && batch.nonEmpty) state.update(true)
-    def row(d: TaggedDoc, dup: Boolean) =
+    StreamingDedup.keeperFlags(batch, seenBefore)(_.doc_id).map { case (d, dup) =>
       FlaggedDoc(d.doc_id, d.text_hash, d.n_tokens, d.lang_guess,
         d.quality_keep, dup)
-    if (seenBefore) batch.iterator.map(row(_, dup = true))
-    else {
-      val minId = batch.iterator.map(_.doc_id).min
-      var keeperEmitted = false
-      batch.iterator.map { d =>
-        val keeper = !keeperEmitted && d.doc_id == minId
-        if (keeper) keeperEmitted = true
-        row(d, !keeper)
-      }
     }
   }
 

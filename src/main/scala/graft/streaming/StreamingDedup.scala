@@ -48,28 +48,38 @@ object StreamingDedup {
     PortableHash.hexint60(array_join(
       transform(spans, s => coalesce(s.getField("text"), lit(""))), "\u0001"))
 
+  /** The ONE definition of first-keeper selection for the stateful dedup
+    * handlers (here and [[CorpusStream.flagGroup]] — the two must never
+    * drift): pairs every row with its is_duplicate flag. One O(n) min
+    * pass, NO sort — a degenerate hash (empty content duplicated across
+    * a whole batch) lands its group in one task, and an O(n log n) sort
+    * there is pure waste when only the minimum is needed. A re-delivered
+    * duplicate id keeps exactly one keeper.
+    */
+  def keeperFlags[T](batch: Array[T], seenBefore: Boolean)(
+      id: T => String): Iterator[(T, Boolean)] =
+    if (seenBefore || batch.isEmpty) batch.iterator.map((_, true))
+    else {
+      val minId = batch.iterator.map(id).min
+      var keeperEmitted = false
+      batch.iterator.map { d =>
+        val keeper = !keeperEmitted && id(d) == minId
+        if (keeper) keeperEmitted = true
+        (d, !keeper)
+      }
+    }
+
   /** Group handler: emits every doc of the group, flagging all but the
-    * first-ever-seen (earlier batch wins; within this batch, min doc_id).
-    * One O(n) min pass, NO sort: a degenerate hash (empty content
-    * duplicated across a whole batch) lands its group in one task, and
-    * an O(n log n) sort there is pure waste when only the minimum is
-    * needed.
+    * first-ever-seen (earlier batch wins; within this batch, min doc_id
+    * — [[keeperFlags]]).
     */
   def dedupGroup(key: Long, rows: Iterator[DocHash],
       state: GroupState[Boolean]): Iterator[DedupRow] = {
     val seenBefore = state.getOption.getOrElse(false)
     val batch = rows.toArray
     if (!seenBefore && batch.nonEmpty) state.update(true)
-    if (seenBefore)
-      batch.iterator.map(d => DedupRow(d.doc_id, d.content_hash, true))
-    else {
-      val minId = batch.iterator.map(_.doc_id).min
-      var keeperEmitted = false // a re-delivered duplicate id keeps ONE keeper
-      batch.iterator.map { d =>
-        val keeper = !keeperEmitted && d.doc_id == minId
-        if (keeper) keeperEmitted = true
-        DedupRow(d.doc_id, d.content_hash, !keeper)
-      }
+    keeperFlags(batch, seenBefore)(_.doc_id).map { case (d, dup) =>
+      DedupRow(d.doc_id, d.content_hash, dup)
     }
   }
 

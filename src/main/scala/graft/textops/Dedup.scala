@@ -299,11 +299,8 @@ object Dedup {
     // round while the superseded round's blocks are unpersisted
     // DETERMINISTICALLY — on success and on failure — instead of waiting
     // on driver GC + ContextCleaner.
-    val spark = pairs.sparkSession
-    def rooted(df: DataFrame): DataFrame = {
-      val out = spark.createDataFrame(df.rdd, df.schema).persist(lvl)
-      out
-    }
+    def rooted(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftshim.ColumnShim.truncatePlan(df).persist(lvl)
     var labels = rooted(edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label")))
     try {
