@@ -66,6 +66,10 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => graft.textops.TextAnalysis.fingerprint(s, dir)),
     "text_repetition" -> ((s, dir) => graft.textops.TextAnalysis.repetition(s, dir)),
     "text_gopher" -> ((s, dir) => graft.textops.TextAnalysis.gopherRules(s, dir)),
+    // PII redaction (planted fixture PII; email -> ip -> phone order)
+    "text_pii_scrub" -> ((s, dir) => graft.textops.TextAnalysis.piiScrub(s, dir)),
+    // benchmark decontamination: 5-gram overlap vs the benchmark subset
+    "corpus_decontam" -> ((s, dir) => graft.textops.Decontam.decontaminate(s, dir)),
     // corpus construction: deterministic training-mix sampling + packing
     "corpus_sample" -> ((s, dir) => graft.textops.Corpus.sampleStratified(s, dir)),
     "corpus_pack" -> ((s, dir) => graft.textops.Corpus.packSequences(s, dir)),
@@ -125,6 +129,8 @@ SELECT doc_id, kind, text, media_ref, "offset" FROM synth ORDER BY doc_id, "offs
     "text_quality" -> graft.verify.TextOracles.quality,
     "text_tokens" -> graft.verify.TextOracles.tokenCounts,
     "text_fingerprint" -> graft.verify.TextOracles.fingerprint,
+    "text_pii_scrub" -> graft.verify.TextOracles.piiScrub,
+    "corpus_decontam" -> graft.verify.TextOracles.decontaminate,
     "text_repetition" -> graft.verify.TextOracles.repetition,
     "text_gopher" -> graft.verify.TextOracles.gopherRules,
     "corpus_sample" -> graft.verify.TextOracles.sampleStratified,

@@ -1,0 +1,68 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark DECONTAMINATION — the training-data hygiene pass every
+  * serious pretraining pipeline runs (GPT-3 §C / Gopher / Llama style):
+  * a training document is contaminated if any of its word 5-grams also
+  * appears in the evaluation-benchmark set, because a model graded on
+  * text it trained on reports inflated scores. Here the "benchmark" is a
+  * deterministic hash-threshold subset of the corpus (the sandbox has no
+  * external benchmark table; swapping in a real one changes ONE input,
+  * not the dataflow) and the overlap unit is the same 5-gram hash family
+  * as [[TextAnalysis.fingerprint60]] (native [[GramHashesExpr]] kernel,
+  * portable hash, identical in DuckDB).
+  *
+  * Scale shape: the benchmark gram set is SMALL by construction
+  * (benchmarks are millions of grams, the corpus is trillions), so the
+  * membership check is a BROADCAST semi-join — document grams are
+  * exploded map-side, probe the broadcast set, and never shuffle; the
+  * only exchange is the per-doc distinct of contaminated ids. The
+  * tagged gram table is memoized ([[SessionMemo]]) so the benchmark
+  * branch and the probe branch share one kernel pass.
+  */
+object Decontam {
+
+  /** Word n-gram size (shared with the fingerprint family). */
+  val GramN = 5
+
+  /** Per-mille of docs forming the stand-in benchmark set:
+    * `h32("bench-" || doc_id) % 1000 < threshold` — deterministic and
+    * reproducible, like every sampling decision in this library.
+    */
+  val BenchmarkThreshold = 50
+
+  def isBenchmark(docId: Column): Column =
+    pmod(PortableHash.hexint32(concat(lit("bench-"), docId.cast("string"))),
+      lit(1000L)) < BenchmarkThreshold
+
+  /** The `corpus_decontam` driver query: every doc with its benchmark
+    * flag, gram count, and contamination verdict (benchmark docs are the
+    * reference set — never flagged against themselves).
+    */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val tagged = SessionMemo(spark, s"$sfDir#decontam-tagged") {
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      d.select(d("doc_id"), isBenchmark(d("doc_id")).as("is_benchmark"),
+        TextAnalysis.gramHashes60(d("text")).as("grams"))
+    }
+    val benchGrams = tagged.where(col("is_benchmark"))
+      .select(explode(col("grams")).as("g")).distinct()
+    val contaminated = tagged.where(!col("is_benchmark"))
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .join(broadcast(benchGrams), Seq("g"))
+      .select("doc_id").distinct()
+      .withColumn("hit", lit(true))
+    // audit shape: every doc keeps a row with its verdict. At 10^12 docs
+    // a run would ANTI-join to drop contaminated rows instead
+    // (`tagged.join(contaminated, Seq("doc_id"), "left_anti")`) — same
+    // probe, no verdict column to carry.
+    tagged
+      .select(col("doc_id"), col("is_benchmark"), size(col("grams")).as("n_grams"))
+      .join(broadcast(contaminated), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_benchmark"), col("n_grams"),
+        coalesce(col("hit"), lit(false)).as("contaminated"))
+      .orderBy("doc_id")
+  }
+}

@@ -242,6 +242,52 @@ object TextAnalysis {
   def repetitionFracs(c: Column): Column =
     ColumnShim.column(RepetitionExpr(ColumnShim.expression(c)))
 
+  /** PII patterns — frozen and RE2-COMPATIBLE (no backreferences or
+    * lookaround: the DuckDB oracle runs the byte-identical pattern
+    * strings, and at deployment keeping to the common regex subset means
+    * any engine swap preserves the redaction set).
+    */
+  val PiiEmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpPattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiPhonePattern = "\\b\\d{3}[- ]\\d{3,4}[- ]\\d{4}\\b"
+
+  /** PII scrubbing — the standard pre-training redaction pass (C4/Dolma
+    * style): emails, IPv4s and phone-shaped numbers are replaced with
+    * typed tokens, applied in a FIXED order (email → ip → phone, each
+    * count taken on the text state its replacement sees, so the two
+    * engines agree exactly even where categories could overlap).
+    * Shuffle-free per-row projection; patterns compile once per
+    * expression instance (Spark caches them).
+    *
+    * The synthetic corpus contains no PII, so the query PLANTS
+    * deterministic PII per doc_id before scrubbing — the same
+    * self-fixture style as the media_decode PNG round-trip — making the
+    * redaction path non-vacuous and oracle-verified end to end.
+    */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = loadDocs(spark, sfDir)
+    val id = d("doc_id")
+    val planted =
+      when(pmod(id, lit(3)) === 0,
+        concat(d("text"), lit(" contact user."), id.cast("string"),
+          lit("@example.com now")))
+      .when(pmod(id, lit(3)) === 1,
+        concat(d("text"), lit(" from 10."), pmod(id, lit(256)).cast("string"),
+          lit(".0.1 at 555-867-5309")))
+      .otherwise(d("text"))
+    val nEmails = size(regexp_extract_all(planted, lit(PiiEmailPattern), lit(0)))
+    val t1 = regexp_replace(planted, PiiEmailPattern, "<EMAIL>")
+    val nIps = size(regexp_extract_all(t1, lit(PiiIpPattern), lit(0)))
+    val t2 = regexp_replace(t1, PiiIpPattern, "<IP>")
+    val nPhones = size(regexp_extract_all(t2, lit(PiiPhonePattern), lit(0)))
+    val t3 = regexp_replace(t2, PiiPhonePattern, "<PHONE>")
+    d.select(id.as("doc_id"), t3.as("clean_text"),
+        nEmails.as("n_emails"), nIps.as("n_ips"), nPhones.as("n_phones"))
+      .withColumn("n_redactions",
+        col("n_emails") + col("n_ips") + col("n_phones"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: minimum keyed hash over the rolling window of
     * word 5-grams (winnowing-style min-fingerprint); short docs fall back
     * to whole-text hash. Robust to local edits outside the minimal gram.
@@ -285,6 +331,34 @@ object TextAnalysis {
 
   def fingerprint60(c: Column): Column =
     ColumnShim.column(FingerprintExpr(ColumnShim.expression(c)))
+
+  /** ALL word-5-gram hashes of a doc (the full set [[fingerprint60]]
+    * takes the min of; same split and short-doc fallback, so the two
+    * stay consistent) — the unit of benchmark decontamination overlap.
+    * Scala twin of [[GramHashesExpr]].
+    */
+  def gramHashesScala(text: String): Array[Long] = {
+    val ws = text.split(" ", -1)
+    val n = ws.length
+    if (n < 5) return Array(PortableHash.hexint60(text))
+    Array.tabulate(n - 4)(i => PortableHash.hexint60(
+      s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)} ${ws(i + 3)} ${ws(i + 4)}"))
+  }
+
+  /** Column-op reference implementation (what the DuckDB oracle mirrors;
+    * parity vs the native kernel pinned in PortableHashSpec).
+    */
+  def gramHashesColumnar(text: Column): Column = {
+    val ws = words(text)
+    val nw = size(ws)
+    val grams = transform(sequence(lit(0), nw - 5),
+      i => array_join(slice(ws, i + 1, lit(5)), " "))
+    when(nw >= 5, transform(grams, g => PortableHash.hexint60(g)))
+      .otherwise(array(PortableHash.hexint60(text)))
+  }
+
+  def gramHashes60(c: Column): Column =
+    ColumnShim.column(GramHashesExpr(ColumnShim.expression(c)))
 }
 
 /** Catalyst expression wrapping [[TextAnalysis.repetitionScala]]. */
@@ -311,4 +385,21 @@ case class FingerprintExpr(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(newChild: Expression): FingerprintExpr =
     copy(child = newChild)
   override def prettyName: String = "fingerprint60"
+}
+
+/** Catalyst expression wrapping [[TextAnalysis.gramHashesScala]]: the full
+  * 5-gram hash array in one Scala pass (the interpreted HOF twin re-hashes
+  * per element — the same cost profile fingerprint's kernel eliminated).
+  */
+case class GramHashesExpr(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextAnalysis.gramHashesScala(input.asInstanceOf[UTF8String].toString)
+        .map(Long.box).toArray[Any])
+  override protected def withNewChildInternal(newChild: Expression): GramHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "gram_hashes60"
 }

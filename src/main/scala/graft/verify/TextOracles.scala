@@ -266,6 +266,66 @@ SELECT doc_id,
   ELSE ${h60("text")} END AS fingerprint
 FROM w ORDER BY doc_id"""
 
+  /** PII scrubbing (mirrors [[graft.textops.TextAnalysis.piiScrub]]):
+    * plant deterministic PII per doc_id, then redact email → ip → phone
+    * in that fixed order, each count taken on the text state its
+    * replacement sees. Pattern strings interpolate from the Scala
+    * constants (RE2-compatible by construction).
+    */
+  val piiScrub: String = {
+    import graft.textops.TextAnalysis._
+    s"""WITH p AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN text || ' contact user.' || CAST(doc_id AS VARCHAR) || '@example.com now'
+         WHEN doc_id % 3 = 1 THEN text || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 at 555-867-5309'
+         ELSE text END AS t0
+  FROM documents),
+s1 AS (
+  SELECT doc_id, len(regexp_extract_all(t0, '$PiiEmailPattern')) AS n_emails,
+    regexp_replace(t0, '$PiiEmailPattern', '<EMAIL>', 'g') AS t1
+  FROM p),
+s2 AS (
+  SELECT doc_id, n_emails, len(regexp_extract_all(t1, '$PiiIpPattern')) AS n_ips,
+    regexp_replace(t1, '$PiiIpPattern', '<IP>', 'g') AS t2
+  FROM s1),
+s3 AS (
+  SELECT doc_id, n_emails, n_ips,
+    len(regexp_extract_all(t2, '$PiiPhonePattern')) AS n_phones,
+    regexp_replace(t2, '$PiiPhonePattern', '<PHONE>', 'g') AS t3
+  FROM s2)
+SELECT doc_id, t3 AS clean_text, n_emails, n_ips, n_phones,
+  n_emails + n_ips + n_phones AS n_redactions
+FROM s3 ORDER BY doc_id"""
+  }
+
+  /** Benchmark decontamination (mirrors
+    * [[graft.textops.Decontam.decontaminate]]): the same 5-gram hash
+    * family as the fingerprint oracle, benchmark = hash-threshold doc
+    * subset, contaminated = any gram overlap with the benchmark set.
+    */
+  val decontaminate: String = {
+    import graft.textops.Decontam
+    s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+    ${h32("'bench-' || CAST(doc_id AS VARCHAR)")} % 1000 < ${Decontam.BenchmarkThreshold} AS is_benchmark,
+    CASE WHEN len(ws) >= 5 THEN
+      list_transform(range(len(ws) - 4),
+        i -> ${h60("array_to_string(ws[i+1:i+5], ' ')")})
+    ELSE [${h60("text")}] END AS grams
+  FROM w),
+bench AS (
+  SELECT DISTINCT u.gg AS g FROM g, UNNEST(grams) u(gg) WHERE is_benchmark),
+cont AS (
+  SELECT DISTINCT d.doc_id FROM (
+    SELECT doc_id, u.gg AS g FROM g, UNNEST(grams) u(gg) WHERE NOT is_benchmark) d
+  JOIN bench b ON d.g = b.g)
+SELECT g.doc_id, g.is_benchmark, len(grams) AS n_grams,
+  COALESCE(c.hit, false) AS contaminated
+FROM g LEFT JOIN (SELECT doc_id, true AS hit FROM cont) c USING (doc_id)
+ORDER BY doc_id"""
+  }
+
   private val S = Dedup.ShingleSize
   private def shinglesCte: String =
     s"""base AS (

@@ -46,6 +46,24 @@ class PortableHashSpec extends AnyFunSuite with SparkSpec {
     df.unpersist()
   }
 
+  test("native gram_hashes60 == columnar reference == Scala twin; min == fingerprint") {
+    import graft.textops.TextAnalysis
+    import spark.implicits._
+    val inputs = Seq("", "a b c", "one two three four five",
+      "one two three four five six seven", "the  double  space case x y z")
+    val df = inputs.toDF("s").cache()
+    val native = df.select(TextAnalysis.gramHashes60(col("s")))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    val columnar = df.select(TextAnalysis.gramHashesColumnar(col("s")))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(native.toSeq === columnar.toSeq)
+    assert(native.toSeq === inputs.map(TextAnalysis.gramHashesScala(_).toSeq))
+    // consistency with the fingerprint family: min gram hash IS the
+    // fingerprint (same split, same short-doc fallback)
+    assert(native.map(_.min).toSeq === inputs.map(TextAnalysis.fingerprintScala))
+    df.unpersist()
+  }
+
   test("native repetition fracs == columnar reference (full sf0.001 docs)") {
     import graft.textops.TextAnalysis
     val d = TextAnalysis.loadDocs(SparkSpec.session, "/root/testdata/sf0.001")
