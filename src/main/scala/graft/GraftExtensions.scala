@@ -2,7 +2,7 @@ package graft
 
 import graft.extract.{ExtractSpansExpr, HtmlStripExpr}
 import graft.synth.SynthSpansExpr
-import graft.textops.{FingerprintExpr, FormatBestEffortExpr, JaccardExpr, SimHashExpr}
+import graft.textops.{FingerprintExpr, FormatBestEffortExpr, GramHashesExpr, JaccardExpr, RepetitionExpr, SimHashExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -46,6 +46,10 @@ object GraftExtensions {
       arity(1, "simhash60", c => SimHashExpr(c(0)))),
     ("fingerprint60", "fingerprint60(text) - min 5-gram winnowing fingerprint",
       arity(1, "fingerprint60", c => FingerprintExpr(c(0)))),
+    ("gram_hashes60", "gram_hashes60(text) - all word-5-gram hashes (decontamination unit)",
+      arity(1, "gram_hashes60", c => GramHashesExpr(c(0)))),
+    ("repetition_fracs", "repetition_fracs(text) - [dup_2gram_frac, dup_3gram_frac]",
+      arity(1, "repetition_fracs", c => RepetitionExpr(c(0)))),
     ("format_best_effort",
       "format_best_effort(response, template, example) - L4 JSON extraction cascade",
       arity(3, "format_best_effort", c => FormatBestEffortExpr(c(0), c(1), c(2)))),

@@ -43,7 +43,7 @@ object Decontam {
     */
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     val tagged = SessionMemo(spark, s"$sfDir#decontam-tagged") {
-      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      val d = TextAnalysis.loadDocs(spark, sfDir)
       d.select(d("doc_id"), isBenchmark(d("doc_id")).as("is_benchmark"),
         TextAnalysis.gramHashes60(d("text")).as("grams"))
     }

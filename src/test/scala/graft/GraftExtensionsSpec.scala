@@ -18,6 +18,17 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getLong(1) === TextAnalysis.fingerprintScala("one two three four five six"))
   }
 
+  test("gram_hashes60 and repetition_fracs callable from SQL") {
+    val r = spark.sql(
+      "SELECT gram_hashes60('one two three four five six') AS g, " +
+        "repetition_fracs('a b a b a') AS rf")
+      .collect()(0)
+    assert(r.getSeq[Long](0).toSeq ===
+      TextAnalysis.gramHashesScala("one two three four five six").toSeq)
+    assert(r.getSeq[Double](1).toSeq ===
+      TextAnalysis.repetitionScala("a b a b a").toSeq)
+  }
+
   test("format_best_effort callable from SQL") {
     val r = spark.sql(
       """SELECT format_best_effort('name: acme, total: 2', '{"name": "", "total": ""}', NULL) AS x""")
