@@ -51,6 +51,8 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => graft.textops.Dedup.exact(s, dir)),
     "dedup_clusters" -> ((s, dir) => graft.textops.Dedup.nearDupClusters(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => graft.textops.Dedup.ngramJaccard(s, dir)),
+    // exact-substring (passage-level) dedup: cross-doc duplicate 5-grams
+    "dedup_passages" -> ((s, dir) => graft.textops.Dedup.dupPassages(s, dir)),
     "dedup_minhash_lsh" -> ((s, dir) => graft.textops.Dedup.minhashLsh(s, dir)),
     "dedup_simhash" -> ((s, dir) => graft.textops.Dedup.simhashFingerprints(s, dir)),
     "dedup_simhash_pairs" -> ((s, dir) => graft.textops.Dedup.simhashPairs(s, dir)),
@@ -66,12 +68,16 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => graft.textops.TextAnalysis.fingerprint(s, dir)),
     "text_repetition" -> ((s, dir) => graft.textops.TextAnalysis.repetition(s, dir)),
     "text_gopher" -> ((s, dir) => graft.textops.TextAnalysis.gopherRules(s, dir)),
+    // frozen-weight linear quality classifier (CCNet-style scored filter)
+    "text_quality_clf" -> ((s, dir) => graft.textops.TextAnalysis.qualityClassifier(s, dir)),
     // PII redaction (planted fixture PII; email -> ip -> phone order)
     "text_pii_scrub" -> ((s, dir) => graft.textops.TextAnalysis.piiScrub(s, dir)),
     // benchmark decontamination: 5-gram overlap vs the benchmark subset
     "corpus_decontam" -> ((s, dir) => graft.textops.Decontam.decontaminate(s, dir)),
     // corpus construction: deterministic training-mix sampling + packing
     "corpus_sample" -> ((s, dir) => graft.textops.Corpus.sampleStratified(s, dir)),
+    // domain-mix planning: sqrt-temperature source weights -> keep rates
+    "corpus_mix_plan" -> ((s, dir) => graft.textops.Corpus.mixPlan(s, dir)),
     "corpus_pack" -> ((s, dir) => graft.textops.Corpus.packSequences(s, dir)),
     "corpus_pack_sharded" -> ((s, dir) => graft.textops.Corpus.packSequencesSharded(s, dir)),
     "corpus_pack_shuffled" -> ((s, dir) => graft.textops.Corpus.packSequencesShuffled(s, dir)),
@@ -118,6 +124,7 @@ SELECT doc_id, kind, text, media_ref, "offset" FROM synth ORDER BY doc_id, "offs
     "dedup_exact" -> graft.verify.TextOracles.dedupExact,
     "dedup_clusters" -> graft.verify.TextOracles.nearDupClusters,
     "dedup_ngram_jaccard" -> graft.verify.TextOracles.ngramJaccard,
+    "dedup_passages" -> graft.verify.TextOracles.dupPassages,
     "dedup_minhash_lsh" -> graft.verify.TextOracles.minhashLsh,
     "dedup_simhash" -> graft.verify.TextOracles.simhash,
     "dedup_simhash_pairs" -> graft.verify.TextOracles.simhashPairs,
@@ -133,7 +140,9 @@ SELECT doc_id, kind, text, media_ref, "offset" FROM synth ORDER BY doc_id, "offs
     "corpus_decontam" -> graft.verify.TextOracles.decontaminate,
     "text_repetition" -> graft.verify.TextOracles.repetition,
     "text_gopher" -> graft.verify.TextOracles.gopherRules,
+    "text_quality_clf" -> graft.verify.TextOracles.qualityClassifier,
     "corpus_sample" -> graft.verify.TextOracles.sampleStratified,
+    "corpus_mix_plan" -> graft.verify.TextOracles.mixPlan,
     "corpus_pack" -> graft.verify.TextOracles.packSequences,
     "corpus_pack_sharded" -> graft.verify.TextOracles.packSequencesSharded,
     "corpus_pack_shuffled" -> graft.verify.TextOracles.packSequencesShuffled,

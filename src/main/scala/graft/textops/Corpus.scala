@@ -231,4 +231,67 @@ object Corpus {
     survivors.where(sampleKeep(col("doc_id"), col("lang_guess")))
       .select("doc_id", "n_tokens", "lang_guess", "text_hash")
   }
+
+  /** Token budget for [[mixPlan]] as a fraction of the corpus:
+    * `budget = total_tokens DIV MixBudgetDiv` (a half-size mix; frozen
+    * for the oracle — a real run sets the budget from the training plan).
+    */
+  val MixBudgetDiv = 2
+
+  /** DOMAIN-MIX planning — the step that turns per-source corpus stats
+    * into sampling rates (The Pile / Dolma style source weighting, with
+    * the square-root temperature rule of multilingual-corpus practice,
+    * e.g. mT5, Xue et al. 2021: weight ∝ tokens^0.5, so giant crawl
+    * sources are down-weighted and small curated sources up-weighted
+    * relative to proportional sampling). For each `source`:
+    *
+    *   w_s    = floor(sqrt(src_tokens))          — temperature weight
+    *   rate_s = min(1000, budget·w_s·1000 DIV (W·src_tokens)) per mille
+    *   keep   = h32("mix-" || doc_id) % 1000 < rate_s
+    *
+    * All mix arithmetic after the sqrt is INTEGER (exact in any engine;
+    * sqrt itself is IEEE correctly-rounded, so floor(sqrt) is
+    * bit-portable too), and the keep decision is the same reproducible
+    * hash-threshold as every sampling decision here — a rerun keeps
+    * exactly the same docs. At 100 TB the bigint products need
+    * decimal(38,0) headroom (budget·w·1000 can pass 2^63 around 10^14
+    * tokens); the dataflow is unchanged.
+    *
+    * Scale shape: per-source stats are ONE partial aggregate (sources
+    * number in the hundreds, tokens combine map-side); totals are a
+    * one-row aggregate broadcast back over the rate table; the per-doc
+    * keep decision joins the ~|sources|-row rate table via BROADCAST
+    * (shuffle-free over the doc table); the kept roll-up is again a
+    * partial aggregate. The doc-level projection is memoized so the
+    * stats pass and the decision pass share one scan.
+    */
+  def mixPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val tagged = SessionMemo(spark, s"$sfDir#mix-tagged") {
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      d.select(d("doc_id"), d("source"),
+        size(TextAnalysis.nonEmptyWords(d("text"))).cast("long").as("n_tokens"),
+        pmod(PortableHash.hexint32(concat(lit("mix-"), d("doc_id").cast("string"))),
+          lit(1000L)).as("mix_h"))
+    }
+    val perSource = tagged.groupBy("source").agg(
+      count(lit(1)).as("n_docs"), sum("n_tokens").as("src_tokens"))
+      .withColumn("temp_weight", floor(sqrt(col("src_tokens").cast("double"))).cast("long"))
+    val totals = perSource.agg(
+      sum("src_tokens").as("total_tokens"), sum("temp_weight").as("total_w"))
+    val rates = perSource.crossJoin(broadcast(totals))
+      .withColumn("rate_permille", when(col("src_tokens") === 0, lit(0L))
+        .otherwise(least(lit(1000L), expr(
+          s"((total_tokens DIV $MixBudgetDiv) * temp_weight * 1000) DIV (total_w * src_tokens)"))))
+      .select("source", "n_docs", "src_tokens", "temp_weight", "rate_permille")
+    val kept = tagged.join(broadcast(rates.select("source", "rate_permille")), Seq("source"))
+      .where(col("mix_h") < col("rate_permille"))
+      .groupBy("source").agg(
+        count(lit(1)).as("kept_docs"), sum("n_tokens").as("kept_tokens"))
+    rates.join(broadcast(kept), Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("src_tokens"),
+        col("temp_weight"), col("rate_permille"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
 }

@@ -241,6 +241,59 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Duplicate-PASSAGE threshold for [[dupPassages]]: drop a doc when
+    * more than this fraction of its distinct passages also appear
+    * elsewhere in the corpus (frozen for the oracle).
+    */
+  val DupPassageFracMax = 0.2
+
+  /** Cross-document duplicate-PASSAGE detection — the exact-substring
+    * dedup of Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better"), at word-5-gram granularity instead of a
+    * suffix array (the passage unit is the same 5-gram hash family as
+    * [[TextAnalysis.fingerprint60]] / decontamination, so all three
+    * surfaces agree on what "a passage" is). A doc's `dup_grams` counts
+    * its DISTINCT grams that occur in at least one OTHER document;
+    * `keep` drops docs whose duplicated fraction exceeds
+    * [[DupPassageFracMax]]. Exact duplicates score dup_frac = 1.0;
+    * template spam (shared boilerplate passages around unique content)
+    * scores the boilerplate fraction — the case whole-doc exact dedup
+    * misses entirely.
+    *
+    * Scale shape: the exploded (doc_id, gram-hash) table carries only
+    * fixed-width longs (never text); gram frequency is ONE partial
+    * aggregate on the 60-bit gram key (map-side combine — corpus-wide
+    * frequency never funnels); the join back to doc grams is a keyed
+    * equi-join on the same key (unlike decontamination's benchmark set,
+    * the duplicated-gram table grows with the corpus, so this is a
+    * shuffled join by design — AQE splits any boilerplate-gram skew);
+    * the per-doc roll-up is again a partial aggregate. Per-doc distinct
+    * grams come from `array_distinct` INSIDE the row (no shuffle), and
+    * the gram table is memoized so the frequency and join-back branches
+    * share one kernel pass.
+    */
+  def dupPassages(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = memoized(spark, s"$sfDir#dup-passage-grams") {
+      val d = docs(spark, sfDir)
+      d.select(d("doc_id"),
+        array_distinct(TextAnalysis.gramHashes60(d("text"))).as("grams"))
+    }
+    val docGrams = grams.select(col("doc_id"), explode(col("grams")).as("g"))
+    // rows are per-doc distinct, so count == number of docs carrying g
+    val dupGramSet = docGrams.groupBy("g").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2).select("g")
+    val dupCounts = docGrams.join(dupGramSet, Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_grams"))
+    grams.select(col("doc_id"), size(col("grams")).as("n_distinct_grams"))
+      .join(dupCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_distinct_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
+      .withColumn("dup_frac",
+        round(col("dup_grams").cast("double") / col("n_distinct_grams").cast("double"), 6))
+      .withColumn("keep", col("dup_frac") <= DupPassageFracMax)
+      .orderBy("doc_id")
+  }
+
   /** Near-dup CLUSTERING — the step between pair detection and corpus
     * pruning: connected components over the verified MinHash+LSH pairs,
     * labeled by minimum doc_id, keeper = the minimum itself. A real

@@ -172,6 +172,79 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Frozen parameters of [[qualityClassifier]] — a linear scoring head
+    * over the cheap per-doc features (see there for why linear). Bias
+    * and cut are in CENTI-units, weights in hundredths (0.35 → 35): the
+    * dot product runs in exact integer arithmetic (see the query doc).
+    */
+  val ClfBiasC = -20L
+  val ClfWLenC = 35L
+  val ClfWStopC = 25L
+  val ClfWAwlC = 15L
+  val ClfWAlphaC = 25L
+  val ClfWRepC = 30L // subtracted: repetition is a negative signal
+  val ClfCutC = 25L
+
+  /** Model-based QUALITY CLASSIFICATION — the scored counterpart of the
+    * rule batteries (CCNet, Wenzek et al. 2020, and GPT-3's appendix-A
+    * corpus filter score docs with a trained linear classifier instead
+    * of hard thresholds): a frozen-weight linear head over the cheap
+    * features this library already audits (capped length, stopword
+    * ratio, capped mean word length, alphabetic-word fraction, duplicate
+    * 2-gram fraction), emitting the margin and the keep verdict at
+    * [[ClfCut]]. The head is LINEAR, not sigmoid, on purpose: the
+    * sigmoid is monotone, so thresholding the margin is the identical
+    * classifier, while `exp()` is not IEEE correctly-rounded and would
+    * cost cross-engine bit-equality. Features are rounded to 6 decimals
+    * BEFORE the dot product (same discipline as the Gopher battery: the
+    * emitted features are the audit trail for any keep decision), and
+    * the dot product itself runs in exact INTEGER micro-units: a
+    * 6-decimal feature times a 2-decimal weight is an exact 8-decimal
+    * number, so a float dot product routinely lands on decimal TIES
+    * where engines' round() disagree (Spark HALF_UPs the shortest
+    * decimal rendering, DuckDB rounds the binary value — measured:
+    * 0.2521885 → 0.252189 vs 0.252188). Scaling features to 1e-6 ints
+    * (exact, they are 6-decimal multiples) and weights to hundredths
+    * makes score and verdict integer-exact in any engine; the emitted
+    * double score is the 1e-8-unit integer divided by 1e8 (one
+    * correctly-rounded op, bit-identical everywhere).
+    *
+    * Shuffle-free: one projection chain per row; the word array splits
+    * once (referenced by four features, so CollapseProject keeps it) and
+    * the repetition kernel runs once.
+    */
+  def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = loadDocs(spark, sfDir)
+    val withW = d.select(d("doc_id"),
+      nonEmptyWords(d("text")).as("ws"), repetitionFracs(d("text")).as("fracs"))
+    val nw = size(col("ws")).cast("double")
+    val chars = aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).cast("double")
+    val awl = when(nw === 0, lit(0.0)).otherwise(chars / nw)
+    val stop = when(nw === 0, lit(0.0)).otherwise(
+      size(filter(col("ws"), w => w.isin(EnStop: _*))).cast("double") / nw)
+    val alpha = when(nw === 0, lit(0.0)).otherwise(
+      size(filter(col("ws"), w => w.rlike("[A-Za-z]"))).cast("double") / nw)
+    val feats = withW.select(col("doc_id"),
+      round(least(lit(1.0), nw / 100.0), 6).as("f_len"),
+      round(stop, 6).as("f_stop"),
+      round(least(lit(1.0), awl / 8.0), 6).as("f_awl"),
+      round(alpha, 6).as("f_alpha"),
+      element_at(col("fracs"), 1).as("f_rep"))
+    // exact 1e-6-unit integer of a 6-decimal-rounded feature (the double
+    // is within ~1e-10 of the integer after the multiply, so round is it)
+    def micro(c: Column): Column = round(c * 1000000.0, 0).cast("long")
+    feats
+      .withColumn("score_u8",
+        lit(ClfBiasC * 1000000L) + lit(ClfWLenC) * micro(col("f_len")) +
+          lit(ClfWStopC) * micro(col("f_stop")) + lit(ClfWAwlC) * micro(col("f_awl")) +
+          lit(ClfWAlphaC) * micro(col("f_alpha")) - lit(ClfWRepC) * micro(col("f_rep")))
+      .select(col("doc_id"), col("f_len"), col("f_stop"), col("f_awl"),
+        col("f_alpha"), col("f_rep"),
+        (col("score_u8").cast("double") / 100000000.0).as("score"),
+        (col("score_u8") >= ClfCutC * 1000000L).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Repetition-ratio thresholds for [[repetition]] (simplified Gopher
     * rules — Rae et al. 2021 flag docs whose duplicate-n-gram fractions
     * exceed per-n thresholds; frozen here for the oracle).

@@ -326,6 +326,115 @@ FROM g LEFT JOIN (SELECT doc_id, true AS hit FROM cont) c USING (doc_id)
 ORDER BY doc_id"""
   }
 
+  /** Cross-document duplicate passages (mirrors
+    * [[graft.textops.Dedup.dupPassages]]): per-doc DISTINCT 5-gram
+    * hashes, corpus-wide frequency, dup = gram held by >= 2 docs.
+    */
+  val dupPassages: String = {
+    import graft.textops.Dedup
+    s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(ws) >= 5 THEN
+      list_transform(range(len(ws) - 4),
+        i -> ${h60("array_to_string(ws[i+1:i+5], ' ')")})
+    ELSE [${h60("text")}] END) AS grams
+  FROM w),
+dg AS (SELECT doc_id, u.gg AS g FROM g, UNNEST(grams) u(gg)),
+freq AS (SELECT g FROM dg GROUP BY g HAVING count(*) >= 2),
+dup AS (SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS dup_grams
+        FROM dg JOIN freq USING (g) GROUP BY dg.doc_id),
+r AS (
+  SELECT g.doc_id, len(grams) AS n_distinct_grams,
+    CAST(COALESCE(d.dup_grams, 0) AS BIGINT) AS dup_grams
+  FROM g LEFT JOIN dup d USING (doc_id))
+SELECT doc_id, n_distinct_grams, dup_grams,
+  round(CAST(dup_grams AS DOUBLE) / CAST(n_distinct_grams AS DOUBLE), 6) AS dup_frac,
+  round(CAST(dup_grams AS DOUBLE) / CAST(n_distinct_grams AS DOUBLE), 6)
+    <= ${Dedup.DupPassageFracMax} AS keep
+FROM r ORDER BY doc_id"""
+  }
+
+  /** Domain-mix plan (mirrors [[graft.textops.Corpus.mixPlan]]): sqrt
+    * temperature weights, integer per-mille rates, hash-threshold keeps.
+    */
+  val mixPlan: String = {
+    import graft.textops.Corpus
+    s"""WITH t AS (
+  SELECT doc_id, source,
+    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+    ${h32("'mix-' || CAST(doc_id AS VARCHAR)")} % 1000 AS mix_h
+  FROM documents),
+ps AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+  FROM t GROUP BY source),
+pw AS (SELECT ps.*,
+    CAST(floor(sqrt(CAST(src_tokens AS DOUBLE))) AS BIGINT) AS temp_weight
+  FROM ps),
+tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+    CAST(sum(temp_weight) AS BIGINT) AS total_w FROM pw),
+r AS (
+  SELECT source, n_docs, src_tokens, temp_weight,
+    CAST(CASE WHEN src_tokens = 0 THEN 0
+      ELSE least(1000, ((total_tokens // ${Corpus.MixBudgetDiv}) * temp_weight * 1000)
+        // (total_w * src_tokens)) END AS BIGINT) AS rate_permille
+  FROM pw, tot),
+k AS (
+  SELECT t.source, CAST(count(*) AS BIGINT) AS kept_docs,
+    CAST(sum(t.n_tokens) AS BIGINT) AS kept_tokens
+  FROM t JOIN r ON t.source = r.source WHERE t.mix_h < r.rate_permille
+  GROUP BY t.source)
+SELECT r.source, r.n_docs, r.src_tokens, r.temp_weight, r.rate_permille,
+  CAST(COALESCE(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+  CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+FROM r LEFT JOIN k USING (source)
+ORDER BY source"""
+  }
+
+  /** Linear quality classifier (mirrors
+    * [[graft.textops.TextAnalysis.qualityClassifier]]): features rounded
+    * to 6 decimals, then an exact INTEGER dot product in 1e-8 units
+    * (float dot products land on decimal ties where Spark and DuckDB
+    * round() disagree — rationale in the Spark twin's doc).
+    */
+  val qualityClassifier: String = {
+    import graft.textops.TextAnalysis._
+    def u6(f: String): String = s"CAST(round($f * 1000000, 0) AS BIGINT)"
+    def dup2: String =
+      s"""CASE WHEN len(wsf) < 2 THEN 0.0 ELSE
+      round(1.0 - CAST(len(list_distinct(list_transform(range(len(wsf) - 1),
+        i -> array_to_string(wsf[i+1:i+2], ' ')))) AS DOUBLE)
+        / CAST(len(wsf) - 1 AS DOUBLE), 6) END"""
+    s"""WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS wsf,
+    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents),
+f AS (
+  SELECT doc_id,
+    round(least(1.0, CAST(len(ws) AS DOUBLE) / 100.0), 6) AS f_len,
+    round(CASE WHEN len(ws) = 0 THEN 0.0
+      ELSE CAST(len(list_filter(ws, x -> x IN ($enStop))) AS DOUBLE)
+        / CAST(len(ws) AS DOUBLE) END, 6) AS f_stop,
+    round(least(1.0, (CASE WHEN len(ws) = 0 THEN 0.0
+      ELSE CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+        / CAST(len(ws) AS DOUBLE) END) / 8.0), 6) AS f_awl,
+    round(CASE WHEN len(ws) = 0 THEN 0.0
+      ELSE CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        / CAST(len(ws) AS DOUBLE) END, 6) AS f_alpha,
+    $dup2 AS f_rep
+  FROM w),
+s AS (
+  SELECT *, $ClfBiasC * 1000000 + $ClfWLenC * ${u6("f_len")}
+    + $ClfWStopC * ${u6("f_stop")} + $ClfWAwlC * ${u6("f_awl")}
+    + $ClfWAlphaC * ${u6("f_alpha")} - $ClfWRepC * ${u6("f_rep")} AS score_u8
+  FROM f)
+SELECT doc_id, f_len, f_stop, f_awl, f_alpha, f_rep,
+  CAST(score_u8 AS DOUBLE) / 100000000.0 AS score,
+  score_u8 >= $ClfCutC * 1000000 AS keep
+FROM s ORDER BY doc_id"""
+  }
+
   private val S = Dedup.ShingleSize
   private def shinglesCte: String =
     s"""base AS (

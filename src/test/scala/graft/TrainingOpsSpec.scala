@@ -1,0 +1,113 @@
+package graft
+
+import graft.textops.{Corpus, Dedup, PortableHash, TextAnalysis}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the round-5 training-data ops (duplicate-passage
+  * detection, domain-mix planning, linear quality classifier) against
+  * brute-force Scala references; the DuckDB oracle is the value gate.
+  */
+class TrainingOpsSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private lazy val docs: Map[Long, String] =
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+
+  test("dup_passages counts exactly the distinct grams shared with another doc") {
+    val rows = Dedup.dupPassages(spark, sf).collect()
+    assert(rows.length === docs.size)
+    val gramSets = docs.map { case (id, t) =>
+      id -> TextAnalysis.gramHashesScala(t).toSet
+    }
+    val freq = new scala.collection.mutable.HashMap[Long, Int]
+    gramSets.values.foreach(_.foreach(g => freq(g) = freq.getOrElse(g, 0) + 1))
+    var fullDups = 0
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val grams = gramSets(id)
+      val dup = grams.count(g => freq(g) >= 2)
+      assert(r.getAs[Int]("n_distinct_grams") === grams.size, s"doc $id")
+      assert(r.getAs[Long]("dup_grams") === dup.toLong, s"doc $id")
+      val frac = BigDecimal(dup.toDouble / grams.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("dup_frac") === frac, s"doc $id")
+      assert(r.getAs[Boolean]("keep") === (frac <= Dedup.DupPassageFracMax), s"doc $id")
+      if (frac == 1.0) fullDups += 1
+    }
+    // the fixture corpus plants exact duplicates: they share EVERY gram,
+    // so the query must see full-dup docs (not vacuous)
+    assert(fullDups > 0)
+  }
+
+  test("mix_plan rates and keeps match the integer temperature-sampling reference") {
+    val srcOf = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    def tokens(t: String): Long = t.split(" ", -1).count(_.nonEmpty).toLong
+    val bySrc = docs.groupBy { case (id, _) => srcOf(id) }
+    val srcTokens = bySrc.map { case (s, ds) => s -> ds.values.map(tokens).sum }
+    val weight = srcTokens.map { case (s, t) => s -> math.floor(math.sqrt(t.toDouble)).toLong }
+    val total = srcTokens.values.sum
+    val totalW = weight.values.sum
+    def rate(s: String): Long =
+      if (srcTokens(s) == 0) 0L
+      else math.min(1000L, (total / Corpus.MixBudgetDiv) * weight(s) * 1000 / (totalW * srcTokens(s)))
+    val rows = Corpus.mixPlan(spark, sf).collect()
+    assert(rows.length === bySrc.size)
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_docs") === bySrc(s).size.toLong)
+      assert(r.getAs[Long]("src_tokens") === srcTokens(s))
+      assert(r.getAs[Long]("temp_weight") === weight(s))
+      assert(r.getAs[Long]("rate_permille") === rate(s), s"source $s")
+      val kept = bySrc(s).keys.filter(id =>
+        PortableHash.hexint32(s"mix-$id") % 1000 < rate(s)).toSeq
+      assert(r.getAs[Long]("kept_docs") === kept.size.toLong, s"source $s")
+      assert(r.getAs[Long]("kept_tokens") === kept.map(id => tokens(docs(id))).sum, s"source $s")
+    }
+    // sqrt temperature must actually reweight: some source's rate differs
+    // from the uniform budget rate (else the op is proportional sampling)
+    assert(rows.map(_.getAs[Long]("rate_permille")).distinct.length > 1 ||
+      rows.length == 1)
+  }
+
+  test("quality classifier score is the exact integer dot product of rounded features") {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = TextAnalysis.qualityClassifier(spark, sf).collect()
+    assert(rows.length === docs.size)
+    var kept = 0
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val ws = docs(id).split(" ", -1).filter(_.nonEmpty)
+      val nw = ws.length.toDouble
+      val fLen = round6(math.min(1.0, nw / 100.0))
+      val fStop = round6(if (nw == 0) 0.0 else ws.count(TextAnalysis.EnStop.contains) / nw)
+      val fAwl = round6(math.min(1.0,
+        (if (nw == 0) 0.0 else ws.map(_.length.toLong).sum / nw) / 8.0))
+      // ASCII letters only, like the rlike("[A-Za-z]") column (isLetter
+      // would admit unicode letters the regex does not)
+      val fAlpha = round6(if (nw == 0) 0.0
+        else ws.count(_.exists(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))) / nw)
+      val fRep = TextAnalysis.repetitionScala(docs(id))(0)
+      def u6(f: Double): Long = math.round(f * 1000000.0)
+      val u8 = TextAnalysis.ClfBiasC * 1000000L +
+        TextAnalysis.ClfWLenC * u6(fLen) + TextAnalysis.ClfWStopC * u6(fStop) +
+        TextAnalysis.ClfWAwlC * u6(fAwl) + TextAnalysis.ClfWAlphaC * u6(fAlpha) -
+        TextAnalysis.ClfWRepC * u6(fRep)
+      assert(r.getAs[Double]("f_len") === fLen, s"doc $id")
+      assert(r.getAs[Double]("f_stop") === fStop, s"doc $id")
+      assert(r.getAs[Double]("f_awl") === fAwl, s"doc $id")
+      assert(r.getAs[Double]("f_alpha") === fAlpha, s"doc $id")
+      assert(r.getAs[Double]("f_rep") === fRep, s"doc $id")
+      assert(r.getAs[Double]("score") === u8.toDouble / 1e8, s"doc $id")
+      assert(r.getAs[Boolean]("keep") === (u8 >= TextAnalysis.ClfCutC * 1000000L), s"doc $id")
+      if (r.getAs[Boolean]("keep")) kept += 1
+    }
+    // the cut must separate: both classes present on the fixture corpus
+    assert(kept > 0 && kept < rows.length)
+  }
+}
