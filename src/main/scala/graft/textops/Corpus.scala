@@ -43,7 +43,7 @@ object Corpus {
     * touches only the threshold map.
     */
   def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val d = TextAnalysis.loadDocs(spark, sfDir)
     val threshold = sampleThresholdCol(col("lang"))
     d.select(d("doc_id"), d("lang"),
       pmod(PortableHash.hexint32(concat(lit("sample-"), d("doc_id").cast("string"))),
@@ -70,7 +70,7 @@ object Corpus {
     * independent streams anyway.
     */
   def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val d = TextAnalysis.loadDocs(spark, sfDir)
     val toks = size(filter(split(d("text"), " "), w => w =!= "")).cast("long")
     val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     d.select(d("doc_id"), toks.as("n_tokens"))
@@ -134,7 +134,7 @@ object Corpus {
     * [[packShard]] deterministic shard.
     */
   def packSequencesSharded(spark: SparkSession, sfDir: String): DataFrame =
-    packSequencesBy(spark.read.parquet(s"$sfDir/documents.parquet"), packShard(col("doc_id")))
+    packSequencesBy(TextAnalysis.loadDocs(spark, sfDir), packShard(col("doc_id")))
       .orderBy("doc_id")
 
   /** Sequence packing in deterministically SHUFFLED order — the order a
@@ -148,7 +148,7 @@ object Corpus {
     * shard-local sort on the shuffle key, no SinglePartition).
     */
   def packSequencesShuffled(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val d = TextAnalysis.loadDocs(spark, sfDir)
     val tagged = d.select(d("doc_id"), d("text"),
       PortableHash.hexint60(concat(lit("shuf-"), d("doc_id").cast("string")))
         .as("shuf_key"))
@@ -178,7 +178,7 @@ object Corpus {
     * to end.
     */
   def buildCorpus(spark: SparkSession, sfDir: String): DataFrame =
-    buildCorpusCore(spark.read.parquet(s"$sfDir/documents.parquet"))
+    buildCorpusCore(TextAnalysis.loadDocs(spark, sfDir))
       .orderBy("doc_id") // driver-query determinism only; deployments skip it
 
   /** [[buildCorpus]] without the final global sort — the deployment shape
@@ -253,36 +253,44 @@ object Corpus {
     * sqrt itself is IEEE correctly-rounded, so floor(sqrt) is
     * bit-portable too), and the keep decision is the same reproducible
     * hash-threshold as every sampling decision here — a rerun keeps
-    * exactly the same docs. At 100 TB the bigint products need
-    * decimal(38,0) headroom (budget·w·1000 can pass 2^63 around 10^14
-    * tokens); the dataflow is unchanged.
+    * exactly the same docs. The rate products run in decimal(38,0)
+    * (DuckDB: HUGEINT) because budget·w·1000 ≈ T^1.5·500 passes 2^63
+    * already around T ≈ 7·10^10 tokens — well inside 100-TB corpora;
+    * 38 digits cover any physical corpus (10^23 at 2.5·10^13 tokens).
+    * Spark's `DIV` yields BIGINT, so only the products need the wide
+    * type and the emitted rate stays a long.
     *
     * Scale shape: per-source stats are ONE partial aggregate (sources
     * number in the hundreds, tokens combine map-side); totals are a
-    * one-row aggregate broadcast back over the rate table; the per-doc
-    * keep decision joins the ~|sources|-row rate table via BROADCAST
-    * (shuffle-free over the doc table); the kept roll-up is again a
-    * partial aggregate. The doc-level projection is memoized so the
-    * stats pass and the decision pass share one scan.
+    * one-row aggregate broadcast back over the rate table; the rate
+    * table itself is memoized (its two consumers — the keep decision
+    * and the output join — must not re-run the corpus aggregation); the
+    * per-doc keep decision joins the ~|sources|-row rate table via
+    * BROADCAST (shuffle-free over the doc table); the kept roll-up is
+    * again a partial aggregate. The doc-level projection is memoized so
+    * the stats pass and the decision pass share one scan.
     */
   def mixPlan(spark: SparkSession, sfDir: String): DataFrame = {
     val tagged = SessionMemo(spark, s"$sfDir#mix-tagged") {
-      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      val d = TextAnalysis.loadDocs(spark, sfDir)
       d.select(d("doc_id"), d("source"),
         size(TextAnalysis.nonEmptyWords(d("text"))).cast("long").as("n_tokens"),
         pmod(PortableHash.hexint32(concat(lit("mix-"), d("doc_id").cast("string"))),
           lit(1000L)).as("mix_h"))
     }
-    val perSource = tagged.groupBy("source").agg(
-      count(lit(1)).as("n_docs"), sum("n_tokens").as("src_tokens"))
-      .withColumn("temp_weight", floor(sqrt(col("src_tokens").cast("double"))).cast("long"))
-    val totals = perSource.agg(
-      sum("src_tokens").as("total_tokens"), sum("temp_weight").as("total_w"))
-    val rates = perSource.crossJoin(broadcast(totals))
-      .withColumn("rate_permille", when(col("src_tokens") === 0, lit(0L))
-        .otherwise(least(lit(1000L), expr(
-          s"((total_tokens DIV $MixBudgetDiv) * temp_weight * 1000) DIV (total_w * src_tokens)"))))
-      .select("source", "n_docs", "src_tokens", "temp_weight", "rate_permille")
+    val rates = SessionMemo(spark, s"$sfDir#mix-rates") {
+      val perSource = tagged.groupBy("source").agg(
+        count(lit(1)).as("n_docs"), sum("n_tokens").as("src_tokens"))
+        .withColumn("temp_weight", floor(sqrt(col("src_tokens").cast("double"))).cast("long"))
+      val totals = perSource.agg(
+        sum("src_tokens").as("total_tokens"), sum("temp_weight").as("total_w"))
+      perSource.crossJoin(broadcast(totals))
+        .withColumn("rate_permille", when(col("src_tokens") === 0, lit(0L))
+          .otherwise(least(lit(1000L), expr(
+            s"(CAST(total_tokens DIV $MixBudgetDiv AS DECIMAL(38,0)) * temp_weight * 1000)" +
+              " DIV (CAST(total_w AS DECIMAL(38,0)) * src_tokens)"))))
+        .select("source", "n_docs", "src_tokens", "temp_weight", "rate_permille")
+    }
     val kept = tagged.join(broadcast(rates.select("source", "rate_permille")), Seq("source"))
       .where(col("mix_h") < col("rate_permille"))
       .groupBy("source").agg(

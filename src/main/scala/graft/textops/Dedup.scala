@@ -34,7 +34,7 @@ object Dedup {
   import PortableHash._
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    TextAnalysis.loadDocs(spark, sfDir)
 
   /** Persisted shingle/signature/scored-pair tables go through the
     * shared [[SessionMemo]] (rationale there).

@@ -182,7 +182,7 @@ object LlmFormat {
   val AnswerExample = """{"answer": "a short summary"}"""
 
   private def docsDf(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    TextAnalysis.loadDocs(spark, sfDir)
 
   /** L1 query: build the full prompt per doc; format-instruction variant
     * cycles with doc_id % 3 (both / format-only / none).

@@ -220,8 +220,7 @@ object TextAnalysis {
     val nw = size(col("ws")).cast("double")
     val chars = aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).cast("double")
     val awl = when(nw === 0, lit(0.0)).otherwise(chars / nw)
-    val stop = when(nw === 0, lit(0.0)).otherwise(
-      size(filter(col("ws"), w => w.isin(EnStop: _*))).cast("double") / nw)
+    val stop = stopRatio(col("ws"), EnStop) // the ONE stopword-ratio definition
     val alpha = when(nw === 0, lit(0.0)).otherwise(
       size(filter(col("ws"), w => w.rlike("[A-Za-z]"))).cast("double") / nw)
     val feats = withW.select(col("doc_id"),

@@ -377,8 +377,8 @@ tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
 r AS (
   SELECT source, n_docs, src_tokens, temp_weight,
     CAST(CASE WHEN src_tokens = 0 THEN 0
-      ELSE least(1000, ((total_tokens // ${Corpus.MixBudgetDiv}) * temp_weight * 1000)
-        // (total_w * src_tokens)) END AS BIGINT) AS rate_permille
+      ELSE least(1000, (CAST(total_tokens // ${Corpus.MixBudgetDiv} AS HUGEINT) * temp_weight * 1000)
+        // (CAST(total_w AS HUGEINT) * src_tokens)) END AS BIGINT) AS rate_permille
   FROM pw, tot),
 k AS (
   SELECT t.source, CAST(count(*) AS BIGINT) AS kept_docs,

@@ -86,8 +86,10 @@ class TrainingOpsSpec extends AnyFunSuite with SparkSpec {
       val nw = ws.length.toDouble
       val fLen = round6(math.min(1.0, nw / 100.0))
       val fStop = round6(if (nw == 0) 0.0 else ws.count(TextAnalysis.EnStop.contains) / nw)
+      // codepoints, not UTF-16 units: Spark's length() counts codepoints
       val fAwl = round6(math.min(1.0,
-        (if (nw == 0) 0.0 else ws.map(_.length.toLong).sum / nw) / 8.0))
+        (if (nw == 0) 0.0
+         else ws.map(w => w.codePointCount(0, w.length).toLong).sum / nw) / 8.0))
       // ASCII letters only, like the rlike("[A-Za-z]") column (isLetter
       // would admit unicode letters the regex does not)
       val fAlpha = round6(if (nw == 0) 0.0
