@@ -284,6 +284,10 @@ object Corpus {
         .withColumn("temp_weight", floor(sqrt(col("src_tokens").cast("double"))).cast("long"))
       val totals = perSource.agg(
         sum("src_tokens").as("total_tokens"), sum("temp_weight").as("total_w"))
+      // ANSI mode (this repo's default) makes a 38-digit overflow FAIL
+      // LOUDLY, matching DuckDB's HUGEINT; with ANSI off the NULL product
+      // would be skipped by least() and silently keep the whole source —
+      // another reason the engine runs ANSI-on
       perSource.crossJoin(broadcast(totals))
         .withColumn("rate_permille", when(col("src_tokens") === 0, lit(0L))
           .otherwise(least(lit(1000L), expr(

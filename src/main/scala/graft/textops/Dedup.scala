@@ -33,9 +33,6 @@ object Dedup {
 
   import PortableHash._
 
-  private def docs(spark: SparkSession, sfDir: String): DataFrame =
-    TextAnalysis.loadDocs(spark, sfDir)
-
   /** Persisted shingle/signature/scored-pair tables go through the
     * shared [[SessionMemo]] (rationale there).
     */
@@ -47,7 +44,7 @@ object Dedup {
     * web-scale exact-dedup shape (hash is the shuffle key, never the text).
     */
   def exact(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir)
+    val d = TextAnalysis.loadDocs(spark, sfDir)
     val w = Window.partitionBy("text_hash").orderBy("doc_id")
     d.select(d("doc_id"), hexint60(d("text")).as("text_hash"))
       .withColumn("is_duplicate", row_number().over(w) > 1)
@@ -119,7 +116,7 @@ object Dedup {
     // smallest span with 2^span >= 1/threshold (see scaladoc); default
     // t=0.4 => span 2, the shape the sf-pinned DuckDB oracle mirrors
     val span = { var s = 0; while (math.pow(2, s) * threshold < 1.0) s += 1; s }
-    val d = docs(spark, sfDir)
+    val d = TextAnalysis.loadDocs(spark, sfDir)
     val base = memoized(spark, s"$sfDir#ngram-base") {
       d.where(size(wordsOf(d("text"))) >= ShingleSize)
         .select(d("doc_id"),
@@ -159,7 +156,7 @@ object Dedup {
     * exact int64 (h < P, a_i < P, so a*h < 2^60).
     */
   private def signatures(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir)
+    val d = TextAnalysis.loadDocs(spark, sfDir)
     val base = d.where(size(wordsOf(d("text"))) >= ShingleSize)
       .select(d("doc_id"), shingles(d("text")).as("sh"))
       .withColumn("shh", transform(col("sh"), s => hexint32(s) % MinHashP))
@@ -210,7 +207,7 @@ object Dedup {
     * folds).
     */
   def simhashFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = docs(spark, sfDir)
+    val d = TextAnalysis.loadDocs(spark, sfDir)
     d.select(d("doc_id"), SimHash.simhash60(d("text")).as("simhash"))
       .orderBy("doc_id")
   }
@@ -274,7 +271,7 @@ object Dedup {
     */
   def dupPassages(spark: SparkSession, sfDir: String): DataFrame = {
     val grams = memoized(spark, s"$sfDir#dup-passage-grams") {
-      val d = docs(spark, sfDir)
+      val d = TextAnalysis.loadDocs(spark, sfDir)
       d.select(d("doc_id"),
         array_distinct(TextAnalysis.gramHashes60(d("text"))).as("grams"))
     }

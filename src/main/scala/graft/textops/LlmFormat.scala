@@ -181,15 +181,12 @@ object LlmFormat {
   val AnswerTemplate = """{"answer": ""}"""
   val AnswerExample = """{"answer": "a short summary"}"""
 
-  private def docsDf(spark: SparkSession, sfDir: String): DataFrame =
-    TextAnalysis.loadDocs(spark, sfDir)
-
   /** L1 query: build the full prompt per doc; format-instruction variant
     * cycles with doc_id % 3 (both / format-only / none).
     */
   def promptBuildQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val d = docsDf(spark, sfDir)
+    val d = TextAnalysis.loadDocs(spark, sfDir)
     val m = pmod(d("doc_id"), lit(3L))
     val fmt = when(m < 2, lit(AnswerTemplate)).otherwise(lit(null).cast("string"))
     val ex = when(m === 0, lit(AnswerExample)).otherwise(lit(null).cast("string"))
@@ -213,7 +210,7 @@ object LlmFormat {
     */
   def extractValuesQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val d = docsDf(spark, sfDir)
+    val d = TextAnalysis.loadDocs(spark, sfDir)
     val resp = syntheticKv(d)
     d.select(d("doc_id"),
       keyedExtract(resp, "name").as("name"),
@@ -246,7 +243,7 @@ object LlmFormat {
     */
   def formatResponseQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val d = docsDf(spark, sfDir)
+    val d = TextAnalysis.loadDocs(spark, sfDir)
     d.select(d("doc_id"),
       format_best_effort(syntheticReply(d), lit(Template), lit(null).cast("string"))
         .as("formatted"))
