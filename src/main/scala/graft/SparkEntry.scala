@@ -83,6 +83,9 @@ object SparkEntry {
     "corpus_pack_shuffled" -> ((s, dir) => graft.textops.Corpus.packSequencesShuffled(s, dir)),
     // the composed end-to-end corpus build: tag -> dedup -> sample -> pack
     "corpus_build" -> ((s, dir) => graft.textops.Corpus.buildCorpus(s, dir)),
+    // the CURATED build: classifier filter + benchmark exclusion +
+    // decontamination + survivor-based mix rates + per-shard pack
+    "corpus_curate" -> ((s, dir) => graft.textops.Corpus.curate(s, dir)),
     // multimodal plumbing (stubbed decode, real schema/batching)
     "media_features" -> ((s, dir) => graft.media.MediaFeatures.features(s, dir)),
     // REAL javax.imageio decode: PNG encode->decode round trip per image
@@ -147,6 +150,7 @@ SELECT doc_id, kind, text, media_ref, "offset" FROM synth ORDER BY doc_id, "offs
     "corpus_pack_sharded" -> graft.verify.TextOracles.packSequencesSharded,
     "corpus_pack_shuffled" -> graft.verify.TextOracles.packSequencesShuffled,
     "corpus_build" -> graft.verify.TextOracles.buildCorpus,
+    "corpus_curate" -> graft.verify.TextOracles.corpusCurate,
     "media_features" -> graft.verify.TextOracles.mediaFeatures,
     "media_decode" -> graft.verify.TextOracles.mediaDecode,
     "llm_prompt_build" -> graft.verify.TextOracles.promptBuild,

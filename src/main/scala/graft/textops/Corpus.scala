@@ -278,23 +278,7 @@ object Corpus {
         pmod(PortableHash.hexint32(concat(lit("mix-"), d("doc_id").cast("string"))),
           lit(1000L)).as("mix_h"))
     }
-    val rates = SessionMemo(spark, s"$sfDir#mix-rates") {
-      val perSource = tagged.groupBy("source").agg(
-        count(lit(1)).as("n_docs"), sum("n_tokens").as("src_tokens"))
-        .withColumn("temp_weight", floor(sqrt(col("src_tokens").cast("double"))).cast("long"))
-      val totals = perSource.agg(
-        sum("src_tokens").as("total_tokens"), sum("temp_weight").as("total_w"))
-      // ANSI mode (this repo's default) makes a 38-digit overflow FAIL
-      // LOUDLY, matching DuckDB's HUGEINT; with ANSI off the NULL product
-      // would be skipped by least() and silently keep the whole source —
-      // another reason the engine runs ANSI-on
-      perSource.crossJoin(broadcast(totals))
-        .withColumn("rate_permille", when(col("src_tokens") === 0, lit(0L))
-          .otherwise(least(lit(1000L), expr(
-            s"(CAST(total_tokens DIV $MixBudgetDiv AS DECIMAL(38,0)) * temp_weight * 1000)" +
-              " DIV (CAST(total_w AS DECIMAL(38,0)) * src_tokens)"))))
-        .select("source", "n_docs", "src_tokens", "temp_weight", "rate_permille")
-    }
+    val rates = SessionMemo(spark, s"$sfDir#mix-rates") { ratesCore(tagged) }
     val kept = tagged.join(broadcast(rates.select("source", "rate_permille")), Seq("source"))
       .where(col("mix_h") < col("rate_permille"))
       .groupBy("source").agg(
@@ -305,5 +289,103 @@ object Corpus {
         coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
       .orderBy("source")
+  }
+
+  /** The ONE mix-rate definition (see [[mixPlan]] for the rule):
+    * per-source `(source, n_docs, src_tokens, temp_weight,
+    * rate_permille)` from `(source, n_tokens)` doc rows. One map-side-
+    * combined aggregate + a one-row totals broadcast.
+    */
+  private[textops] def ratesCore(docTokens: DataFrame): DataFrame = {
+    val perSource = docTokens.groupBy("source").agg(
+      count(lit(1)).as("n_docs"), sum("n_tokens").as("src_tokens"))
+      .withColumn("temp_weight", floor(sqrt(col("src_tokens").cast("double"))).cast("long"))
+    val totals = perSource.agg(
+      sum("src_tokens").as("total_tokens"), sum("temp_weight").as("total_w"))
+    // ANSI mode (this repo's default) makes a 38-digit overflow FAIL
+    // LOUDLY, matching DuckDB's HUGEINT; with ANSI off the NULL product
+    // would be skipped by least() and silently keep the whole source —
+    // another reason the engine runs ANSI-on
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("rate_permille", when(col("src_tokens") === 0, lit(0L))
+        .otherwise(least(lit(1000L), expr(
+          s"(CAST(total_tokens DIV $MixBudgetDiv AS DECIMAL(38,0)) * temp_weight * 1000)" +
+            " DIV (CAST(total_w AS DECIMAL(38,0)) * src_tokens)"))))
+      .select("source", "n_docs", "src_tokens", "temp_weight", "rate_permille")
+  }
+
+  /** The CURATED corpus build — the round-5 capstone composition, the
+    * pipeline a modern pretraining run actually executes, assembled
+    * entirely from the audited single-op column definitions (no logic
+    * forks):
+    *
+    *  1. per-row tagging in ONE projection off the scan: token count,
+    *     language guess, content hash, the linear quality-classifier
+    *     margin ([[TextAnalysis.clfScoreU8]] — the scored filter
+    *     replaces the rule battery here), benchmark membership, and the
+    *     mix-sampling hash;
+    *  2. exact dedup — keyed on the 60-bit hash, keeper = min doc_id
+    *     over ALL rows (filters apply to the probe side only, as in
+    *     [[buildCorpusCore]]);
+    *  3. classifier-score filter + BENCHMARK EXCLUSION (eval docs never
+    *     train) + decontamination ANTI-join against the contaminated-id
+    *     set ([[Decontam.contaminatedIds]] — the gram explode rides its
+    *     own branch, so gram arrays never touch this pipeline's
+    *     shuffles);
+    *  4. sqrt-temperature mix sampling at rates computed over the
+    *     SURVIVORS ([[ratesCore]] — real pipelines weight the cleaned
+    *     corpus, not the raw crawl), decided by hash threshold;
+    *  5. per-shard sequence packing.
+    *
+    * Shuffle census: hash(text_hash) for dedup, hash(source) for the
+    * tiny rate aggregate, hash(shard) for packing, plus the decontam
+    * branch's own distincts — every one key-partitioned, no
+    * SinglePartition, document text in none of them.
+    */
+  def curate(spark: SparkSession, sfDir: String): DataFrame =
+    curateCore(TextAnalysis.loadDocs(spark, sfDir),
+      Decontam.contaminatedIds(spark, sfDir),
+      df => SessionMemo(spark, s"$sfDir#curate-survivors")(df))
+      .orderBy("doc_id") // driver-query determinism only; deployments skip it
+
+  /** [[curate]] without the final global sort (the deployment shape);
+    * `contaminated` is the (doc_id) drop set.
+    *
+    * `materialize` receives the survivor table — the natural persisted
+    * stage boundary of a curation pipeline (its two consumers, the rate
+    * aggregate and the sampling probe, would otherwise both re-execute
+    * the dedup join). The driver query parks it in [[SessionMemo]]; a
+    * deployment writes it out; the identity default recomputes (fine
+    * for one-shot plan inspection, wrong for execution at scale).
+    */
+  def curateCore(d: DataFrame, contaminated: DataFrame,
+      materialize: DataFrame => DataFrame = identity): DataFrame = {
+    val withW = d.select(d("doc_id"), d("source"), d("text"),
+      TextAnalysis.nonEmptyWords(d("text")).as("ws"),
+      TextAnalysis.repetitionFracs(d("text")).as("fracs"))
+    val f = TextAnalysis.clfFeatures(col("ws"), col("fracs"))
+    val tagged = withW.select(
+      col("doc_id"), col("source"),
+      size(col("ws")).cast("long").as("n_tokens"),
+      TextAnalysis.langGuessFromWords(col("ws")).as("lang_guess"),
+      PortableHash.hexint60(col("text")).as("text_hash"),
+      TextAnalysis.clfScoreU8(f(0), f(1), f(2), f(3), f(4)).as("score_u8"),
+      Decontam.isBenchmark(col("doc_id")).as("is_benchmark"),
+      pmod(PortableHash.hexint32(concat(lit("mix-"), col("doc_id").cast("string"))),
+        lit(1000L)).as("mix_h"))
+    val keepers = tagged.select("text_hash", "doc_id")
+      .groupBy("text_hash").agg(min("doc_id").as("keeper_id"))
+    val survivors = materialize(tagged
+      .where(col("score_u8") >= TextAnalysis.ClfCutC * 1000000L && !col("is_benchmark"))
+      .join(keepers, Seq("text_hash"))
+      .where(col("doc_id") === col("keeper_id"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id", "source", "n_tokens", "lang_guess", "mix_h"))
+    val rates = ratesCore(survivors.select("source", "n_tokens"))
+    val sampled = survivors
+      .join(broadcast(rates.select("source", "rate_permille")), Seq("source"))
+      .where(col("mix_h") < col("rate_permille"))
+    packSequencesBy(sampled, packShard(col("doc_id")),
+      carry = Seq("source", "lang_guess"), tokens = Some(col("n_tokens")))
   }
 }

@@ -42,27 +42,38 @@ object Decontam {
     * reference set — never flagged against themselves).
     */
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
-    val tagged = SessionMemo(spark, s"$sfDir#decontam-tagged") {
-      val d = TextAnalysis.loadDocs(spark, sfDir)
-      d.select(d("doc_id"), isBenchmark(d("doc_id")).as("is_benchmark"),
-        TextAnalysis.gramHashes60(d("text")).as("grams"))
-    }
-    val benchGrams = tagged.where(col("is_benchmark"))
-      .select(explode(col("grams")).as("g")).distinct()
-    val contaminated = tagged.where(!col("is_benchmark"))
-      .select(col("doc_id"), explode(col("grams")).as("g"))
-      .join(broadcast(benchGrams), Seq("g"))
-      .select("doc_id").distinct()
-      .withColumn("hit", lit(true))
+    val tagged = taggedGrams(spark, sfDir)
     // audit shape: every doc keeps a row with its verdict. At 10^12 docs
-    // a run would ANTI-join to drop contaminated rows instead
-    // (`tagged.join(contaminated, Seq("doc_id"), "left_anti")`) — same
-    // probe, no verdict column to carry.
+    // a run would ANTI-join to drop contaminated rows instead (as the
+    // curated corpus build does) — same probe, no verdict to carry.
     tagged
       .select(col("doc_id"), col("is_benchmark"), size(col("grams")).as("n_grams"))
-      .join(broadcast(contaminated), Seq("doc_id"), "left")
+      .join(broadcast(contaminatedIds(spark, sfDir).withColumn("hit", lit(true))),
+        Seq("doc_id"), "left")
       .select(col("doc_id"), col("is_benchmark"), col("n_grams"),
         coalesce(col("hit"), lit(false)).as("contaminated"))
       .orderBy("doc_id")
   }
+
+  /** The contaminated doc-id set — non-benchmark docs sharing any gram
+    * with the benchmark set — as (doc_id) rows, from the shared memoized
+    * tagged-gram table; [[decontaminate]] audits it, the curated corpus
+    * build anti-joins it.
+    */
+  def contaminatedIds(spark: SparkSession, sfDir: String): DataFrame = {
+    val tagged = taggedGrams(spark, sfDir)
+    val benchGrams = tagged.where(col("is_benchmark"))
+      .select(explode(col("grams")).as("g")).distinct()
+    tagged.where(!col("is_benchmark"))
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .join(broadcast(benchGrams), Seq("g"))
+      .select("doc_id").distinct()
+  }
+
+  private def taggedGrams(spark: SparkSession, sfDir: String): DataFrame =
+    SessionMemo(spark, s"$sfDir#decontam-tagged") {
+      val d = TextAnalysis.loadDocs(spark, sfDir)
+      d.select(d("doc_id"), isBenchmark(d("doc_id")).as("is_benchmark"),
+        TextAnalysis.gramHashes60(d("text")).as("grams"))
+    }
 }

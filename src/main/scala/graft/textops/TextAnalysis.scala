@@ -217,32 +217,50 @@ object TextAnalysis {
     val d = loadDocs(spark, sfDir)
     val withW = d.select(d("doc_id"),
       nonEmptyWords(d("text")).as("ws"), repetitionFracs(d("text")).as("fracs"))
-    val nw = size(col("ws")).cast("double")
-    val chars = aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).cast("double")
-    val awl = when(nw === 0, lit(0.0)).otherwise(chars / nw)
-    val stop = stopRatio(col("ws"), EnStop) // the ONE stopword-ratio definition
-    val alpha = when(nw === 0, lit(0.0)).otherwise(
-      size(filter(col("ws"), w => w.rlike("[A-Za-z]"))).cast("double") / nw)
-    val feats = withW.select(col("doc_id"),
-      round(least(lit(1.0), nw / 100.0), 6).as("f_len"),
-      round(stop, 6).as("f_stop"),
-      round(least(lit(1.0), awl / 8.0), 6).as("f_awl"),
-      round(alpha, 6).as("f_alpha"),
-      element_at(col("fracs"), 1).as("f_rep"))
-    // exact 1e-6-unit integer of a 6-decimal-rounded feature (the double
-    // is within ~1e-10 of the integer after the multiply, so round is it)
-    def micro(c: Column): Column = round(c * 1000000.0, 0).cast("long")
+    val feats = withW.select(col("doc_id") +: clfFeatures(col("ws"), col("fracs")): _*)
     feats
-      .withColumn("score_u8",
-        lit(ClfBiasC * 1000000L) + lit(ClfWLenC) * micro(col("f_len")) +
-          lit(ClfWStopC) * micro(col("f_stop")) + lit(ClfWAwlC) * micro(col("f_awl")) +
-          lit(ClfWAlphaC) * micro(col("f_alpha")) - lit(ClfWRepC) * micro(col("f_rep")))
+      .withColumn("score_u8", clfScoreU8(col("f_len"), col("f_stop"),
+        col("f_awl"), col("f_alpha"), col("f_rep")))
       .select(col("doc_id"), col("f_len"), col("f_stop"), col("f_awl"),
         col("f_alpha"), col("f_rep"),
         (col("score_u8").cast("double") / 100000000.0).as("score"),
         (col("score_u8") >= ClfCutC * 1000000L).as("keep"))
       .orderBy("doc_id")
   }
+
+  /** The five classifier features (rounded to 6 decimals), from a
+    * pre-split word array and the repetition-fracs array — the ONE
+    * definition [[qualityClassifier]] and composed pipelines (the
+    * curated corpus build) share, aliased f_len..f_rep.
+    */
+  private[textops] def clfFeatures(ws: Column, fracs: Column): Seq[Column] = {
+    val nw = size(ws).cast("double")
+    val chars = aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double")
+    val awl = when(nw === 0, lit(0.0)).otherwise(chars / nw)
+    val alpha = when(nw === 0, lit(0.0)).otherwise(
+      size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / nw)
+    Seq(
+      round(least(lit(1.0), nw / 100.0), 6).as("f_len"),
+      round(stopRatio(ws, EnStop), 6).as("f_stop"),
+      round(least(lit(1.0), awl / 8.0), 6).as("f_awl"),
+      round(alpha, 6).as("f_alpha"),
+      element_at(fracs, 1).as("f_rep"))
+  }
+
+  /** Exact 1e-6-unit integer of a 6-decimal-rounded feature (the double
+    * is within ~1e-10 of the integer after the multiply, so round is it).
+    */
+  private def micro6(c: Column): Column = round(c * 1000000.0, 0).cast("long")
+
+  /** The classifier margin in exact 1e-8 integer units from the rounded
+    * feature columns (rationale for the integer form in
+    * [[qualityClassifier]]'s doc).
+    */
+  private[textops] def clfScoreU8(fLen: Column, fStop: Column, fAwl: Column,
+      fAlpha: Column, fRep: Column): Column =
+    lit(ClfBiasC * 1000000L) + lit(ClfWLenC) * micro6(fLen) +
+      lit(ClfWStopC) * micro6(fStop) + lit(ClfWAwlC) * micro6(fAwl) +
+      lit(ClfWAlphaC) * micro6(fAlpha) - lit(ClfWRepC) * micro6(fRep)
 
   /** Repetition-ratio thresholds for [[repetition]] (simplified Gopher
     * rules — Rae et al. 2021 flag docs whose duplicate-n-gram fractions

@@ -392,6 +392,107 @@ FROM r LEFT JOIN k USING (source)
 ORDER BY source"""
   }
 
+  /** Curated corpus build (mirrors [[graft.textops.Corpus.curate]]):
+    * tag + classifier margin → exact dedup (keeper over ALL rows) →
+    * score filter + benchmark exclusion + contamination drop →
+    * survivor-based sqrt-temperature mix sampling → per-shard packing.
+    * Every fragment is the single-op oracle's, composed in one CTE chain.
+    */
+  val corpusCurate: String = {
+    import graft.textops.{Corpus, Decontam, TextAnalysis}
+    import TextAnalysis._
+    def u6(f: String): String = s"CAST(round($f * 1000000, 0) AS BIGINT)"
+    val dup2 =
+      s"""CASE WHEN len(wsf) < 2 THEN 0.0 ELSE
+      round(1.0 - CAST(len(list_distinct(list_transform(range(len(wsf) - 1),
+        i -> array_to_string(wsf[i+1:i+2], ' ')))) AS DOUBLE)
+        / CAST(len(wsf) - 1 AS DOUBLE), 6) END"""
+    val shard = s"${PortableHash.duckHexint32("'shard-' || CAST(doc_id AS VARCHAR)")} % ${Corpus.PackShards}"
+    s"""WITH w AS (
+  SELECT doc_id, source, text, string_split(text, ' ') AS wsf,
+    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents),
+f AS (
+  SELECT doc_id, source, text, ws, wsf,
+    round(least(1.0, CAST(len(ws) AS DOUBLE) / 100.0), 6) AS f_len,
+    round(CASE WHEN len(ws) = 0 THEN 0.0
+      ELSE CAST(len(list_filter(ws, x -> x IN ($enStop))) AS DOUBLE)
+        / CAST(len(ws) AS DOUBLE) END, 6) AS f_stop,
+    round(least(1.0, (CASE WHEN len(ws) = 0 THEN 0.0
+      ELSE CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+        / CAST(len(ws) AS DOUBLE) END) / 8.0), 6) AS f_awl,
+    round(CASE WHEN len(ws) = 0 THEN 0.0
+      ELSE CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        / CAST(len(ws) AS DOUBLE) END, 6) AS f_alpha,
+    $dup2 AS f_rep,
+    round(CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+      CAST(len(list_filter(ws, x -> x IN ($enStop))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) END, 6) AS en_ratio,
+    round(CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+      CAST(len(list_filter(ws, x -> x IN ($ptStop))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) END, 6) AS pt_ratio
+  FROM w),
+t AS (
+  SELECT doc_id, source,
+    CAST(len(ws) AS BIGINT) AS n_tokens,
+    CASE WHEN en_ratio > pt_ratio THEN 'en'
+         WHEN pt_ratio > en_ratio THEN 'pt' ELSE 'und' END AS lang_guess,
+    ${h60("text")} AS text_hash,
+    $ClfBiasC * 1000000 + $ClfWLenC * ${u6("f_len")}
+      + $ClfWStopC * ${u6("f_stop")} + $ClfWAwlC * ${u6("f_awl")}
+      + $ClfWAlphaC * ${u6("f_alpha")} - $ClfWRepC * ${u6("f_rep")} AS score_u8,
+    ${h32("'bench-' || CAST(doc_id AS VARCHAR)")} % 1000 < ${Decontam.BenchmarkThreshold} AS is_benchmark,
+    ${h32("'mix-' || CAST(doc_id AS VARCHAR)")} % 1000 AS mix_h
+  FROM f),
+g AS (
+  SELECT doc_id,
+    ${h32("'bench-' || CAST(doc_id AS VARCHAR)")} % 1000 < ${Decontam.BenchmarkThreshold} AS is_benchmark,
+    CASE WHEN len(wsf) >= 5 THEN
+      list_transform(range(len(wsf) - 4),
+        i -> ${h60("array_to_string(wsf[i+1:i+5], ' ')")})
+    ELSE [${h60("text")}] END AS grams
+  FROM w),
+bench AS (
+  SELECT DISTINCT u.gg AS g FROM g, UNNEST(grams) u(gg) WHERE is_benchmark),
+cont AS (
+  SELECT DISTINCT d.doc_id FROM (
+    SELECT doc_id, u.gg AS g FROM g, UNNEST(grams) u(gg) WHERE NOT is_benchmark) d
+  JOIN bench b ON d.g = b.g),
+k AS (SELECT text_hash, min(doc_id) AS keeper_id FROM t GROUP BY text_hash),
+surv AS (
+  SELECT t.doc_id, t.source, t.n_tokens, t.lang_guess, t.mix_h
+  FROM t JOIN k USING (text_hash)
+  WHERE t.score_u8 >= $ClfCutC * 1000000 AND NOT t.is_benchmark
+    AND t.doc_id = k.keeper_id
+    AND t.doc_id NOT IN (SELECT doc_id FROM cont)),
+ps AS (
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+  FROM surv GROUP BY source),
+pw AS (SELECT ps.*,
+    CAST(floor(sqrt(CAST(src_tokens AS DOUBLE))) AS BIGINT) AS temp_weight
+  FROM ps),
+tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+    CAST(sum(temp_weight) AS BIGINT) AS total_w FROM pw),
+r AS (
+  SELECT source,
+    CAST(CASE WHEN src_tokens = 0 THEN 0
+      ELSE least(1000, (CAST(total_tokens // ${Corpus.MixBudgetDiv} AS HUGEINT) * temp_weight * 1000)
+        // (CAST(total_w AS HUGEINT) * src_tokens)) END AS BIGINT) AS rate_permille
+  FROM pw, tot),
+samp AS (
+  SELECT surv.* FROM surv JOIN r USING (source) WHERE surv.mix_h < r.rate_permille),
+p AS (
+  SELECT doc_id, source, lang_guess, $shard AS shard, n_tokens FROM samp),
+c AS (
+  SELECT doc_id, source, lang_guess, shard, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+  FROM p)
+SELECT doc_id, shard, n_tokens, start_tok,
+  start_tok // ${Corpus.PackCapacity} AS bin_id,
+  start_tok % ${Corpus.PackCapacity} AS offset_in_bin,
+  source, lang_guess
+FROM c ORDER BY doc_id"""
+  }
+
   /** Linear quality classifier (mirrors
     * [[graft.textops.TextAnalysis.qualityClassifier]]): features rounded
     * to 6 decimals, then an exact INTEGER dot product in 1e-8 units

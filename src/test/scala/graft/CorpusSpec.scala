@@ -143,6 +143,52 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     assert(docs.count() > out.length) // the filters actually filtered
   }
 
+  test("curated build composes classifier, dedup, decontam, and mix semantics") {
+    import org.apache.spark.sql.functions.col
+    val out = Corpus.curate(spark, sf).collect()
+    assert(out.nonEmpty)
+    val kept = out.map(_.getAs[Long]("doc_id")).toSet
+
+    // every survivor passes the standalone classifier, is not a benchmark
+    // doc, is its hash group's keeper, and is not contaminated — each
+    // recomputed through the oracle-audited single-op query
+    val clfKeep = graft.textops.TextAnalysis.qualityClassifier(spark, sf)
+      .where(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val dedupKeeper = graft.textops.Dedup.exact(spark, sf)
+      .where(!col("is_duplicate")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val decontam = graft.textops.Decontam.decontaminate(spark, sf).collect()
+    val contaminated = decontam.filter(_.getAs[Boolean]("contaminated"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    val benchmark = decontam.filter(_.getAs[Boolean]("is_benchmark"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    kept.foreach { id =>
+      assert(clfKeep(id), s"doc $id fails the quality classifier")
+      assert(dedupKeeper(id), s"doc $id is a duplicate")
+      assert(!benchmark(id), s"benchmark doc $id leaked into training")
+      assert(!contaminated(id), s"contaminated doc $id survived")
+    }
+
+    // packing invariants hold per shard on the curated stream
+    val cap = Corpus.PackCapacity
+    out.groupBy(_.getAs[Long]("shard")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+      assert(sorted.head.getAs[Long]("start_tok") === 0L)
+      sorted.sliding(2).foreach {
+        case Array(p, n) =>
+          assert(n.getAs[Long]("start_tok") ===
+            p.getAs[Long]("start_tok") + p.getAs[Long]("n_tokens"))
+        case _ => ()
+      }
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("bin_id") === r.getAs[Long]("start_tok") / cap)
+      }
+    }
+
+    // hash-decided end to end: a rerun is bit-identical
+    val again = Corpus.curate(spark, sf).collect()
+    assert(again.toSeq === out.toSeq)
+  }
+
   test("sampling and packing are invariant under input repartitioning") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$sf/documents.parquet")
