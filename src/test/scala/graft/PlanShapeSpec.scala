@@ -72,6 +72,29 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!phys.contains("rangepartitioning"), s"\n$phys")
   }
 
+  test("curated build: anti-join decontam, partial-agg dedup, keyed pack exchange") {
+    val d = graft.textops.TextAnalysis.loadDocs(spark, sf)
+    val contaminated = graft.textops.Decontam.contaminatedIds(spark, sf)
+    // identity materialize = the pure plan (the driver query memoizes, a
+    // deployment writes the survivor table out); the survivor subtree
+    // appears once per consumer here, so pins use contains, not counts
+    val df = graft.textops.Corpus.curateCore(d, contaminated)
+    val phys = df.queryExecution.executedPlan.toString
+    // decontamination is an anti-join against the contaminated-id set,
+    // never a per-row verdict column carried through the pipeline
+    assert(phys.contains("LeftAnti"), s"\n$phys")
+    // dedup keeper = map-side-combined min aggregate, not a window sort
+    assert(phys.contains("partial_min"), s"\n$phys")
+    assert(!phys.contains("row_number"), s"\n$phys")
+    // packing exchanges on shard; the only single-partition funnel
+    // allowed is the one-row totals aggregate over per-source rows
+    // (bounded by #sources — metadata scale, not data scale), and the
+    // training branch never range-sorts globally
+    assert(count(phys, "hashpartitioning(shard") === 1, s"\n$phys")
+    assert(count(phys, "SinglePartition") <= 1, s"\n$phys")
+    assert(!phys.contains("rangepartitioning"), s"\n$phys")
+  }
+
   test("flagship extraction plan has no shuffle and a pruned scan") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-planshape").toString
     graft.synth.SpanSynth.docsInput(spark, sf).write.mode("overwrite")
