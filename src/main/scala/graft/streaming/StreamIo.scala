@@ -25,6 +25,18 @@ object StreamIo {
       .option("maxFilesPerTrigger", MaxFilesPerTrigger.toString)
       .parquet(inDir)
 
+  /** Growing parquet directory of TEXT docs (the documents-table shape
+    * the curation ops consume) as a stream; the declared schema is the
+    * projection the tail needs, so parquet column pruning applies at the
+    * source.
+    */
+  def textDocSource(spark: SparkSession, inDir: String): DataFrame =
+    spark.readStream
+      .schema(new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("source", "string").add("text", "string"))
+      .option("maxFilesPerTrigger", MaxFilesPerTrigger.toString)
+      .parquet(inDir)
+
   /** Start `df` into an append-mode parquet sink; `availableNow = true`
     * drains what exists and stops (tests / backfill catch-up).
     */

@@ -49,21 +49,24 @@ object StreamingDedup {
       transform(spans, s => coalesce(s.getField("text"), lit(""))), "\u0001"))
 
   /** The ONE definition of first-keeper selection for the stateful dedup
-    * handlers (here and [[CorpusStream.flagGroup]] — the two must never
-    * drift): pairs every row with its is_duplicate flag. One O(n) min
-    * pass, NO sort — a degenerate hash (empty content duplicated across
-    * a whole batch) lands its group in one task, and an O(n log n) sort
-    * there is pure waste when only the minimum is needed. A re-delivered
-    * duplicate id keeps exactly one keeper.
+    * handlers (here, [[CorpusStream.flagGroup]], and
+    * [[CurateStream.flagGroup]] — the three must never drift): pairs
+    * every row with its is_duplicate flag. One O(n) min pass, NO sort —
+    * a degenerate hash (empty content duplicated across a whole batch)
+    * lands its group in one task, and an O(n log n) sort there is pure
+    * waste when only the minimum is needed. A re-delivered duplicate id
+    * keeps exactly one keeper. Generic in the id's ordering: span docs
+    * key on String ids, the curated tail on numeric ids (where string
+    * min would pick "10" over "9" and diverge from the batch keeper).
     */
-  def keeperFlags[T](batch: Array[T], seenBefore: Boolean)(
-      id: T => String): Iterator[(T, Boolean)] =
+  def keeperFlags[T, K](batch: Array[T], seenBefore: Boolean)(
+      id: T => K)(implicit ord: Ordering[K]): Iterator[(T, Boolean)] =
     if (seenBefore || batch.isEmpty) batch.iterator.map((_, true))
     else {
       val minId = batch.iterator.map(id).min
       var keeperEmitted = false
       batch.iterator.map { d =>
-        val keeper = !keeperEmitted && id(d) == minId
+        val keeper = !keeperEmitted && ord.equiv(id(d), minId)
         if (keeper) keeperEmitted = true
         (d, !keeper)
       }

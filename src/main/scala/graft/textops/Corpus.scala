@@ -360,6 +360,34 @@ object Corpus {
     */
   def curateCore(d: DataFrame, contaminated: DataFrame,
       materialize: DataFrame => DataFrame = identity): DataFrame = {
+    val survivors = materialize(curateSurvivors(d, contaminated))
+    val rates = ratesCore(survivors.select("source", "n_tokens"))
+    val sampled = survivors
+      .join(broadcast(rates.select("source", "rate_permille")), Seq("source"))
+      .where(col("mix_h") < col("rate_permille"))
+    packSequencesBy(sampled, packShard(col("doc_id")),
+      carry = Seq("source", "lang_guess"), tokens = Some(col("n_tokens")))
+  }
+
+  /** Offline mix-rate PLANNING for the streaming curated tail: the
+    * survivor-weighted rate table exactly as [[curateCore]] computes it,
+    * as a standalone batch step. The lambda split of corpus curation:
+    * per-source rates are global statistics an unbounded stream cannot
+    * compute, so the batch planner owns them (re-run on whatever cadence
+    * the mix should track) and the stream applies them statically.
+    */
+  def curatePlanRates(spark: SparkSession, sfDir: String): DataFrame =
+    ratesCore(curateSurvivors(TextAnalysis.loadDocs(spark, sfDir),
+      Decontam.contaminatedIds(spark, sfDir)).select("source", "n_tokens"))
+
+  /** Stages 1-3 of [[curateCore]] — tag, dedup-keeper, classifier +
+    * benchmark filter, decontamination anti-join — as the survivor rows
+    * `(doc_id, source, n_tokens, lang_guess, mix_h)`. Split out so the
+    * streaming curated tail's OFFLINE PLANNING step (the mix-rate table
+    * it applies statically) derives from exactly this definition.
+    */
+  private[graft] def curateSurvivors(d: DataFrame,
+      contaminated: DataFrame): DataFrame = {
     val withW = d.select(d("doc_id"), d("source"), d("text"),
       TextAnalysis.nonEmptyWords(d("text")).as("ws"),
       TextAnalysis.repetitionFracs(d("text")).as("fracs"))
@@ -375,17 +403,11 @@ object Corpus {
         lit(1000L)).as("mix_h"))
     val keepers = tagged.select("text_hash", "doc_id")
       .groupBy("text_hash").agg(min("doc_id").as("keeper_id"))
-    val survivors = materialize(tagged
+    tagged
       .where(col("score_u8") >= TextAnalysis.ClfCutC * 1000000L && !col("is_benchmark"))
       .join(keepers, Seq("text_hash"))
       .where(col("doc_id") === col("keeper_id"))
       .join(contaminated, Seq("doc_id"), "left_anti")
-      .select("doc_id", "source", "n_tokens", "lang_guess", "mix_h"))
-    val rates = ratesCore(survivors.select("source", "n_tokens"))
-    val sampled = survivors
-      .join(broadcast(rates.select("source", "rate_permille")), Seq("source"))
-      .where(col("mix_h") < col("rate_permille"))
-    packSequencesBy(sampled, packShard(col("doc_id")),
-      carry = Seq("source", "lang_guess"), tokens = Some(col("n_tokens")))
+      .select("doc_id", "source", "n_tokens", "lang_guess", "mix_h")
   }
 }

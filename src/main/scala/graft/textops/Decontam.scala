@@ -70,6 +70,24 @@ object Decontam {
       .select("doc_id").distinct()
   }
 
+  /** The benchmark gram set as a driver-side sorted array — the second
+    * OFFLINE-PLANNED static input of the streaming curated tail (with
+    * [[graft.textops.Corpus.curatePlanRates]]). Bounded by the benchmark
+    * suite size, the very bound the batch decontamination's broadcast
+    * semi-join already asserts: benchmark suites are thousands of docs →
+    * ~10^6-10^7 distinct gram hashes → megabytes of longs, a broadcast
+    * variable (binary-searched per gram), never a join against the
+    * unbounded stream.
+    */
+  def benchGramSet(spark: SparkSession, sfDir: String): Array[Long] = {
+    val tagged = taggedGrams(spark, sfDir)
+    val gs = tagged.where(col("is_benchmark"))
+      .select(explode(col("grams")).as("g")).distinct()
+      .collect().map(_.getLong(0))
+    java.util.Arrays.sort(gs)
+    gs
+  }
+
   private def taggedGrams(spark: SparkSession, sfDir: String): DataFrame =
     SessionMemo(spark, s"$sfDir#decontam-tagged") {
       val d = TextAnalysis.loadDocs(spark, sfDir)

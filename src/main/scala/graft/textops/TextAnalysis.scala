@@ -262,6 +262,16 @@ object TextAnalysis {
       lit(ClfWStopC) * micro6(fStop) + lit(ClfWAwlC) * micro6(fAwl) +
       lit(ClfWAlphaC) * micro6(fAlpha) - lit(ClfWRepC) * micro6(fRep)
 
+  /** The classifier's keep verdict from the word/fracs arrays — the one
+    * boolean composed pipelines outside this package (the streaming
+    * curated tail) filter on; same features, score, and cut as
+    * [[qualityClassifier]] and the batch curate.
+    */
+  private[graft] def clfKeep(ws: Column, fracs: Column): Column = {
+    val f = clfFeatures(ws, fracs)
+    clfScoreU8(f(0), f(1), f(2), f(3), f(4)) >= ClfCutC * 1000000L
+  }
+
   /** Repetition-ratio thresholds for [[repetition]] (simplified Gopher
     * rules — Rae et al. 2021 flag docs whose duplicate-n-gram fractions
     * exceed per-n thresholds; frozen here for the oracle).
