@@ -345,7 +345,8 @@ object Corpus {
   def curate(spark: SparkSession, sfDir: String): DataFrame =
     curateCore(TextAnalysis.loadDocs(spark, sfDir),
       Decontam.contaminatedIds(spark, sfDir),
-      df => SessionMemo(spark, s"$sfDir#curate-survivors")(df))
+      df => SessionMemo(spark, s"$sfDir#curate-survivors")(df),
+      df => SessionMemo(spark, s"$sfDir#curate-tagged")(df))
       .orderBy("doc_id") // driver-query determinism only; deployments skip it
 
   /** [[curate]] without the final global sort (the deployment shape);
@@ -359,8 +360,9 @@ object Corpus {
     * for one-shot plan inspection, wrong for execution at scale).
     */
   def curateCore(d: DataFrame, contaminated: DataFrame,
-      materialize: DataFrame => DataFrame = identity): DataFrame = {
-    val survivors = materialize(curateSurvivors(d, contaminated))
+      materialize: DataFrame => DataFrame = identity,
+      materializeTags: DataFrame => DataFrame = identity): DataFrame = {
+    val survivors = materialize(curateSurvivors(d, contaminated, materializeTags))
     val rates = ratesCore(survivors.select("source", "n_tokens"))
     val sampled = survivors
       .join(broadcast(rates.select("source", "rate_permille")), Seq("source"))
@@ -378,21 +380,37 @@ object Corpus {
     */
   def curatePlanRates(spark: SparkSession, sfDir: String): DataFrame =
     ratesCore(curateSurvivors(TextAnalysis.loadDocs(spark, sfDir),
-      Decontam.contaminatedIds(spark, sfDir)).select("source", "n_tokens"))
+      Decontam.contaminatedIds(spark, sfDir),
+      df => SessionMemo(spark, s"$sfDir#curate-tagged")(df))
+      .select("source", "n_tokens"))
 
   /** Stages 1-3 of [[curateCore]] — tag, dedup-keeper, classifier +
     * benchmark filter, decontamination anti-join — as the survivor rows
     * `(doc_id, source, n_tokens, lang_guess, mix_h)`. Split out so the
     * streaming curated tail's OFFLINE PLANNING step (the mix-rate table
     * it applies statically) derives from exactly this definition.
+    *
+    * `materializeTags` receives the TAG TABLE — the narrow fixed-width
+    * projection (ids, hashes, score, flags; ~100 bytes/row, NO text)
+    * every later stage reads. Materializing it is load-bearing twice:
+    * (a) the score/benchmark Filter otherwise gets pushed through the
+    * word-array projection and RE-INLINES the classifier features,
+    * re-evaluating the O(len) split ~6x per row on the full corpus —
+    * the CollapseProject/pushdown re-evaluation trap PlanShapeSpec
+    * exists for; (b) the keeper aggregate and the probe side otherwise
+    * each scan the source. With the tag table materialized the
+    * expensive text pass runs EXACTLY ONCE and the source is scanned
+    * once. The driver query parks it in [[SessionMemo]]; a deployment
+    * writes it out (it is the classic tag/metadata table of a curation
+    * run); identity recomputes — fine for plan inspection only.
     */
-  private[graft] def curateSurvivors(d: DataFrame,
-      contaminated: DataFrame): DataFrame = {
+  private[graft] def curateSurvivors(d: DataFrame, contaminated: DataFrame,
+      materializeTags: DataFrame => DataFrame = identity): DataFrame = {
     val withW = d.select(d("doc_id"), d("source"), d("text"),
       TextAnalysis.nonEmptyWords(d("text")).as("ws"),
       TextAnalysis.repetitionFracs(d("text")).as("fracs"))
     val f = TextAnalysis.clfFeatures(col("ws"), col("fracs"))
-    val tagged = withW.select(
+    val tagged = materializeTags(withW.select(
       col("doc_id"), col("source"),
       size(col("ws")).cast("long").as("n_tokens"),
       TextAnalysis.langGuessFromWords(col("ws")).as("lang_guess"),
@@ -400,7 +418,7 @@ object Corpus {
       TextAnalysis.clfScoreU8(f(0), f(1), f(2), f(3), f(4)).as("score_u8"),
       Decontam.isBenchmark(col("doc_id")).as("is_benchmark"),
       pmod(PortableHash.hexint32(concat(lit("mix-"), col("doc_id").cast("string"))),
-        lit(1000L)).as("mix_h"))
+        lit(1000L)).as("mix_h")))
     val keepers = tagged.select("text_hash", "doc_id")
       .groupBy("text_hash").agg(min("doc_id").as("keeper_id"))
     tagged

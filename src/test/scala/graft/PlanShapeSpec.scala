@@ -75,11 +75,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
   test("curated build: anti-join decontam, partial-agg dedup, keyed pack exchange") {
     val d = graft.textops.TextAnalysis.loadDocs(spark, sf)
     val contaminated = graft.textops.Decontam.contaminatedIds(spark, sf)
-    // identity materialize = the pure plan (the driver query memoizes, a
-    // deployment writes the survivor table out); the survivor subtree
-    // appears once per consumer here, so pins use contains, not counts
-    val df = graft.textops.Corpus.curateCore(d, contaminated)
+    // deployment shape: tag table materialized (driver query memoizes, a
+    // deployment writes it out); survivors left identity so the full
+    // downstream tree is visible — it appears once per consumer, so
+    // pins on it use contains, not counts
+    var tags: org.apache.spark.sql.DataFrame = null
+    val df = graft.textops.Corpus.curateCore(d, contaminated,
+      materializeTags = t => { tags = t.cache(); tags })
     val phys = df.queryExecution.executedPlan.toString
+    tags.unpersist()
+    // the expensive text pass (word split, kernels) lives ONLY inside
+    // the cached tag computation: no Filter re-inlines the classifier
+    // features through the word-array projection (the pushdown
+    // re-evaluation trap — it costs ~6 split evals per row on the full
+    // corpus), and every downstream consumer reads the tag table
+    val filterLines = phys.linesIterator
+      .filter(l => l.contains("Filter") || l.contains("Condition"))
+      .mkString("\n")
+    assert(!filterLines.contains("split("), s"\n$filterLines")
+    assert(count(phys, "InMemoryTableScan") >= 2, s"\n$phys") // keepers + probe share it
     // decontamination is an anti-join against the contaminated-id set,
     // never a per-row verdict column carried through the pipeline
     assert(phys.contains("LeftAnti"), s"\n$phys")
