@@ -96,16 +96,24 @@ object CurateStream {
     val spark = docs.sparkSession
     import spark.implicits._
     val bg = spark.sparkContext.broadcast(benchGrams)
-    val withW = docs.select(docs("doc_id"), docs("source"), docs("text"),
-      TextAnalysis.nonEmptyWords(docs("text")).as("ws"),
-      TextAnalysis.repetitionFracs(docs("text")).as("fracs"))
+    // drop null rows BEFORE tagging: the file-source schema is nullable,
+    // and a null text/doc_id/source would fail the typed encode into
+    // TaggedDoc's primitive fields — a poison-pill row that kills the
+    // query and re-kills every restart of the same micro-batch. The
+    // batch capstone drops the identical row silently (null score fails
+    // the classifier cut, null hash never matches the keeper join), so
+    // an explicit source filter is the parity-preserving shape.
+    val clean = docs.where(docs("doc_id").isNotNull &&
+      docs("source").isNotNull && docs("text").isNotNull)
+    val withW = clean.select(clean("doc_id"), clean("source"), clean("text"),
+      TextAnalysis.nonEmptyWords(clean("text")).as("ws"),
+      TextAnalysis.repetitionFracs(clean("text")).as("fracs"))
     val tagged = withW.select(
       col("doc_id"), col("source"),
       PortableHash.hexint60(col("text")).as("text_hash"),
       size(col("ws")).cast("long").as("n_tokens"),
       TextAnalysis.langGuessFromWords(col("ws")).as("lang_guess"),
-      pmod(PortableHash.hexint32(concat(lit("mix-"), col("doc_id").cast("string"))),
-        lit(1000L)).as("mix_h"),
+      Corpus.mixHash(col("doc_id")).as("mix_h"),
       TextAnalysis.clfKeep(col("ws"), col("fracs")).as("keep_clf"),
       Decontam.isBenchmark(col("doc_id")).as("is_benchmark"),
       TextAnalysis.gramHashes60(col("text")).as("grams"))

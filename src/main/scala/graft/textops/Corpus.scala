@@ -95,6 +95,17 @@ object Corpus {
     pmod(PortableHash.hexint32(concat(lit("shard-"), docId.cast("string"))),
       lit(PackShards.toLong))
 
+  /** The mix-sampling hash (per-mille bucket of `h32("mix-" || doc_id)`)
+    * — the ONE definition [[mixPlan]], the curated build, and the
+    * streaming curated tail share: the lambda split depends on the
+    * stream's hash being bit-identical to the one the offline planner's
+    * rates were computed for, so this must never fork. Independent of
+    * [[packShard]]/[[sampleKeep]] by key prefix.
+    */
+  def mixHash(docId: Column): Column =
+    pmod(PortableHash.hexint32(concat(lit("mix-"), docId.cast("string"))),
+      lit(1000L))
+
   /** Scale-safe sequence packing: the same concat-and-chunk as
     * [[packSequences]] but windowed PER SHARD
     * (`Window.partitionBy(shard).orderBy(doc_id)`), so the plan is a
@@ -275,8 +286,7 @@ object Corpus {
       val d = TextAnalysis.loadDocs(spark, sfDir)
       d.select(d("doc_id"), d("source"),
         size(TextAnalysis.nonEmptyWords(d("text"))).cast("long").as("n_tokens"),
-        pmod(PortableHash.hexint32(concat(lit("mix-"), d("doc_id").cast("string"))),
-          lit(1000L)).as("mix_h"))
+        mixHash(d("doc_id")).as("mix_h"))
     }
     val rates = SessionMemo(spark, s"$sfDir#mix-rates") { ratesCore(tagged) }
     val kept = tagged.join(broadcast(rates.select("source", "rate_permille")), Seq("source"))
@@ -417,8 +427,7 @@ object Corpus {
       PortableHash.hexint60(col("text")).as("text_hash"),
       TextAnalysis.clfScoreU8(f(0), f(1), f(2), f(3), f(4)).as("score_u8"),
       Decontam.isBenchmark(col("doc_id")).as("is_benchmark"),
-      pmod(PortableHash.hexint32(concat(lit("mix-"), col("doc_id").cast("string"))),
-        lit(1000L)).as("mix_h")))
+      mixHash(col("doc_id")).as("mix_h")))
     val keepers = tagged.select("text_hash", "doc_id")
       .groupBy("text_hash").agg(min("doc_id").as("keeper_id"))
     tagged

@@ -64,6 +64,35 @@ class CurateStreamSpec extends AnyFunSuite with SparkSpec {
     base.unpersist()
   }
 
+  test("null rows are dropped at the source, never poison pills") {
+    import spark.implicits._
+    val root = tmp()
+    val in = s"$root/in/documents.parquet"
+    val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val base = TextAnalysis.loadDocs(spark, sf).where(col("doc_id") < 100)
+      .select("doc_id", "source", "text")
+    // a file-source schema is nullable: a null-text (and null-source)
+    // row must be dropped, not crash the typed encode and wedge the
+    // stream on every restart of the same micro-batch
+    val nulls = Seq((999998L, "web", null: String), (999999L, null: String, null: String))
+      .toDF("doc_id", "source", "text")
+    base.unionByName(nulls).repartition(4).write.mode("append").parquet(in)
+
+    val benchGrams = Decontam.benchGramSet(spark, s"$root/in")
+    val rates = Corpus.curatePlanRates(spark, s"$root/in")
+    val q = CurateStream.start(spark, in, out, ckpt, benchGrams, rates,
+      availableNow = true)
+    q.awaitTermination() // a poison pill would throw StreamingQueryException
+    val streaming = collectRows(spark.read.parquet(out))
+
+    // parity with the batch capstone, which drops the same rows silently
+    val batch = collectRows(Corpus.curateCore(
+      TextAnalysis.loadDocs(spark, s"$root/in"),
+      Decontam.contaminatedIds(spark, s"$root/in")))
+    assert(streaming === batch)
+    assert(!streaming.exists(_._1 >= 999998L))
+  }
+
   test("resume drains only new files; static plan and state persist") {
     val root = tmp()
     val in = s"$root/in/documents.parquet"
