@@ -388,6 +388,87 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** C4 line-level cleaning constants — frozen per the published C4
+    * heuristics (Raffel et al. 2020 §2.2, "Exploring the Limits of
+    * Transfer Learning…"): retain only lines ending in a terminal
+    * punctuation mark with at least [[C4LineMinWords]] words and no
+    * `javascript` token; drop whole pages with fewer than
+    * [[C4PageMinLines]] retained lines, or containing `lorem ipsum` or a
+    * curly brace.
+    */
+  val C4LineMinWords = 5
+  val C4PageMinLines = 3
+  val C4PlantLineWords = 7
+
+  /** C4-style line-level cleaning — the classic Common Crawl pre-training
+    * text cleanup (Raffel et al. 2020 §2.2), per document:
+    *
+    *  - keep only lines that end in terminal punctuation (`.` `!` `?`
+    *    `"`), carry >= [[C4LineMinWords]] words, and do not contain the
+    *    word `javascript`;
+    *  - page verdict: keep the doc only if >= [[C4PageMinLines]] lines
+    *    survive AND the page contains neither the `lorem ipsum`
+    *    placeholder nor a `{` (code);
+    *  - emit the retained lines re-joined, plus line counts and the
+    *    verdict.
+    *
+    * The synthetic corpus has no newlines, so the query PLANTS a
+    * deterministic line structure first (the piiScrub/media_decode
+    * self-fixture style, replayed exactly by the DuckDB oracle): words
+    * are chunked into [[C4PlantLineWords]]-word lines, line `i` of doc
+    * `d` gets suffix `" ."` / `" !"` / none by `(d + i) % 3` (so
+    * terminal-punct and no-punct lines both occur, and the ragged last
+    * chunk exercises the min-words rule), and sparse page-level poison
+    * lines are appended: a `javascript` line on `d % 11 = 0` (which would
+    * otherwise survive — it tests the word rule, not the punct rule), a
+    * `lorem ipsum` line on `d % 13 = 0`, and a brace line on `d % 17 = 0`.
+    *
+    * Scale shape: shuffle-free per-row projection; the line array, the
+    * kept-line array, and the joined page text each materialize exactly
+    * once in their own projection step (non-cheap HOFs referenced more
+    * than once downstream are NOT collapsed by CollapseProject, so no
+    * O(len) expression re-evaluates — the trap PlanShapeSpec pins for
+    * repetition). The trailing sort is driver-query determinism only.
+    */
+  def c4Clean(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = loadDocs(spark, sfDir)
+    val id = d("doc_id")
+    val ws = nonEmptyWords(d("text"))
+    val k = C4PlantLineWords
+    // number of planted base lines = ceil(n_words / k), as integer math
+    val nLines = floor((size(ws).cast("double") + (k - 1)) / k.toDouble).cast("int")
+    val base = when(size(ws) === 0, typedlit(Seq.empty[String]))
+      .otherwise(transform(sequence(lit(0), nLines - 1), i =>
+        concat(array_join(slice(ws, i * k + 1, lit(k)), " "),
+          when(pmod(id + i, lit(3)) === 0, lit(" ."))
+            .when(pmod(id + i, lit(3)) === 1, lit(" !"))
+            .otherwise(lit("")))))
+    val withJs = when(pmod(id, lit(11)) === 0,
+      concat(base, array(lit("please enable javascript to view this page ."))))
+      .otherwise(base)
+    val withLorem = when(pmod(id, lit(13)) === 0,
+      concat(withJs, array(lit("lorem ipsum dolor sit amet consectetur ."))))
+      .otherwise(withJs)
+    val planted = when(pmod(id, lit(17)) === 0,
+      concat(withLorem, array(lit("function main ( ) { return 0 }"))))
+      .otherwise(withLorem)
+    val s1 = d.select(id.as("doc_id"), planted.as("lines"))
+    val s2 = s1.select(col("doc_id"), col("lines"),
+      filter(col("lines"), l =>
+        (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&
+          size(filter(split(l, " "), w => w =!= "")) >= C4LineMinWords &&
+          !array_contains(split(l, " "), "javascript")).as("kept"),
+      array_join(col("lines"), "\n").as("page_text"))
+    s2.select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (size(col("kept")) >= C4PageMinLines &&
+          !col("page_text").contains("lorem ipsum") &&
+          !col("page_text").contains("{")).as("page_keep"),
+        array_join(col("kept"), "\n").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: minimum keyed hash over the rolling window of
     * word 5-grams (winnowing-style min-fingerprint); short docs fall back
     * to whole-text hash. Robust to local edits outside the minimal gram.

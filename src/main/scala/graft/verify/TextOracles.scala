@@ -298,6 +298,55 @@ SELECT doc_id, t3 AS clean_text, n_emails, n_ips, n_phones,
 FROM s3 ORDER BY doc_id"""
   }
 
+  /** C4 line-level cleaning (mirrors
+    * [[graft.textops.TextAnalysis.c4Clean]]): replant the deterministic
+    * line structure (7-word chunks, `(doc_id + i) % 3` punctuation
+    * suffix, sparse javascript / lorem-ipsum / brace poison lines), then
+    * apply the frozen C4 line and page rules. `range()` here yields the
+    * 0-based index list, matching Spark's `sequence(0, n-1)`; DuckDB
+    * list slices are 1-based inclusive and clamp like Spark's `slice`.
+    */
+  val c4Clean: String = {
+    import graft.textops.TextAnalysis._
+    val k = C4PlantLineWords
+    s"""WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+b AS (
+  SELECT doc_id,
+    list_transform(range((len(ws) + ${k - 1}) // $k), i ->
+      array_to_string(ws[i*$k+1:(i+1)*$k], ' ') ||
+      CASE WHEN (doc_id + i) % 3 = 0 THEN ' .'
+           WHEN (doc_id + i) % 3 = 1 THEN ' !'
+           ELSE '' END) AS base
+  FROM w),
+p1 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
+    THEN list_concat(base, ['please enable javascript to view this page .'])
+    ELSE base END AS l1 FROM b),
+p2 AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0
+    THEN list_concat(l1, ['lorem ipsum dolor sit amet consectetur .'])
+    ELSE l1 END AS l2 FROM p1),
+p3 AS (SELECT doc_id, CASE WHEN doc_id % 17 = 0
+    THEN list_concat(l2, ['function main ( ) { return 0 }'])
+    ELSE l2 END AS lines FROM p2),
+c AS (
+  SELECT doc_id, lines,
+    list_filter(lines, l ->
+      right(l, 1) IN ('.', '!', '?', '"')
+      AND len(list_filter(string_split(l, ' '), x -> x <> '')) >= $C4LineMinWords
+      AND NOT list_contains(string_split(l, ' '), 'javascript')) AS kept,
+    -- array_to_string([]) is NULL in DuckDB but '' in Spark: coalesce
+    coalesce(array_to_string(lines, chr(10)), '') AS page_text
+  FROM p3)
+SELECT doc_id,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(kept) AS BIGINT) AS n_kept,
+  (len(kept) >= $C4PageMinLines
+    AND NOT contains(page_text, 'lorem ipsum')
+    AND NOT contains(page_text, '{')) AS page_keep,
+  coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+FROM c ORDER BY doc_id"""
+  }
+
   /** Benchmark decontamination (mirrors
     * [[graft.textops.Decontam.decontaminate]]): the same 5-gram hash
     * family as the fingerprint oracle, benchmark = hash-threshold doc

@@ -42,6 +42,48 @@ class TrainingOpsSpec extends AnyFunSuite with SparkSpec {
     assert(fullDups > 0)
   }
 
+  test("c4 cleaning matches a brute-force line-rule reference") {
+    val rows = TextAnalysis.c4Clean(spark, sf).collect()
+    assert(rows.length === docs.size)
+    val punct = Set('.', '!', '?', '"')
+    var jsDocs = 0; var pageDrops = 0; var raggedDrops = 0
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val ws = docs(id).split(" ", -1).filter(_.nonEmpty)
+      val k = TextAnalysis.C4PlantLineWords
+      var lines = ws.grouped(k).zipWithIndex.map { case (chunk, i) =>
+        chunk.mkString(" ") + (((id + i) % 3) match {
+          case 0 => " ."; case 1 => " !"; case _ => "" })
+      }.toArray
+      if (id % 11 == 0) lines :+= "please enable javascript to view this page ."
+      if (id % 13 == 0) lines :+= "lorem ipsum dolor sit amet consectetur ."
+      if (id % 17 == 0) lines :+= "function main ( ) { return 0 }"
+      val kept = lines.filter { l =>
+        val lw = l.split(" ", -1).filter(_.nonEmpty)
+        punct.contains(l.last) &&
+          lw.length >= TextAnalysis.C4LineMinWords &&
+          !lw.contains("javascript")
+      }
+      val full = lines.mkString("\n")
+      val keep = kept.length >= TextAnalysis.C4PageMinLines &&
+        !full.contains("lorem ipsum") && !full.contains("{")
+      assert(r.getAs[Long]("n_lines") === lines.length.toLong, s"doc $id")
+      assert(r.getAs[Long]("n_kept") === kept.length.toLong, s"doc $id")
+      assert(r.getAs[Boolean]("page_keep") === keep, s"doc $id")
+      assert(r.getAs[String]("clean_text") === kept.mkString("\n"), s"doc $id")
+      if (id % 11 == 0) jsDocs += 1
+      if (!keep) pageDrops += 1
+      if (lines.exists(l => punct.contains(l.last) &&
+        l.split(" ", -1).count(_.nonEmpty) < TextAnalysis.C4LineMinWords)) raggedDrops += 1
+    }
+    // every rule must be exercised by the fixture, not vacuous: the
+    // javascript word rule (lines that pass punct+length but carry the
+    // token), page-level drops, and ragged short lines with punctuation
+    assert(jsDocs > 0 && pageDrops > 0 && raggedDrops > 0)
+    // the javascript poison line never survives into clean_text
+    assert(rows.forall(!_.getAs[String]("clean_text").contains("javascript")))
+  }
+
   test("mix_plan rates and keeps match the integer temperature-sampling reference") {
     val srcOf = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "source").collect()
