@@ -53,6 +53,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) => graft.textops.Dedup.ngramJaccard(s, dir)),
     // exact-substring (passage-level) dedup: cross-doc duplicate 5-grams
     "dedup_passages" -> ((s, dir) => graft.textops.Dedup.dupPassages(s, dir)),
+    // RefinedWeb-style paragraph removal: edits docs, drops boilerplate
+    "dedup_paragraphs" -> ((s, dir) => graft.textops.Dedup.dedupParagraphs(s, dir)),
     "dedup_minhash_lsh" -> ((s, dir) => graft.textops.Dedup.minhashLsh(s, dir)),
     "dedup_simhash" -> ((s, dir) => graft.textops.Dedup.simhashFingerprints(s, dir)),
     "dedup_simhash_pairs" -> ((s, dir) => graft.textops.Dedup.simhashPairs(s, dir)),
@@ -130,6 +132,7 @@ SELECT doc_id, kind, text, media_ref, "offset" FROM synth ORDER BY doc_id, "offs
     "dedup_clusters" -> graft.verify.TextOracles.nearDupClusters,
     "dedup_ngram_jaccard" -> graft.verify.TextOracles.ngramJaccard,
     "dedup_passages" -> graft.verify.TextOracles.dupPassages,
+    "dedup_paragraphs" -> graft.verify.TextOracles.dedupParagraphs,
     "dedup_minhash_lsh" -> graft.verify.TextOracles.minhashLsh,
     "dedup_simhash" -> graft.verify.TextOracles.simhash,
     "dedup_simhash_pairs" -> graft.verify.TextOracles.simhashPairs,

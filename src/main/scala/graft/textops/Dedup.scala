@@ -291,6 +291,65 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Words per planted paragraph for [[dedupParagraphs]] (the corpus has
+    * no newlines; 7-word chunks give multi-paragraph docs whose planted
+    * exact-duplicate pairs share EVERY paragraph).
+    */
+  val ParaChunkWords = 7
+
+  /** Cross-document PARAGRAPH dedup — the RefinedWeb / Falcon passage
+    * removal (Penedo et al. 2023): a paragraph appearing in two or more
+    * documents is boilerplate; every occurrence OUTSIDE the minimum
+    * doc_id (the deterministic "first" copy — the keeper rule shared
+    * with exact dedup) is removed from its document, and the cleaned
+    * text is re-emitted. Unlike [[dupPassages]] (which SCORES docs by
+    * duplicated-gram fraction and drops whole docs), this op EDITS the
+    * surviving docs — template spam loses the boilerplate but keeps its
+    * unique content. Paragraph unit: the planted [[ParaChunkWords]]-word
+    * chunks (the corpus has no newlines; plant replayed by the oracle),
+    * UNSUFFIXED so planted exact-duplicate docs share every paragraph.
+    *
+    * Scale shape: the exploded (doc_id, pos, para-hash) table carries
+    * fixed-width columns only — paragraph TEXT never shuffles; paragraph
+    * frequency + keeper is ONE map-side-combined partial aggregate on
+    * the 60-bit hash; the drop set joins back on the same key and rolls
+    * up to per-doc position lists (bounded by paragraphs-per-doc); the
+    * final join to the paragraph arrays is keyed on doc_id — against the
+    * repo's standard doc_id-bucketed store layout it is co-partitioned
+    * (zero text movement), and at this query's scale AQE broadcasts the
+    * small drop side. The in-row re-assembly is an indexed array filter
+    * (no shuffle).
+    */
+  def dedupParagraphs(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = ParaChunkWords
+    val paraTable = memoized(spark, s"$sfDir#para-chunks") {
+      val d = TextAnalysis.loadDocs(spark, sfDir)
+      val ws = TextAnalysis.nonEmptyWords(d("text"))
+      val nChunks = floor((size(ws).cast("double") + (k - 1)) / k.toDouble).cast("int")
+      val chunks = when(size(ws) === 0, typedlit(Seq.empty[String]))
+        .otherwise(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(ws, i * k + 1, lit(k)), " ")))
+      d.select(d("doc_id"), chunks.as("paras"))
+    }
+    val exploded = paraTable
+      .select(col("doc_id"), posexplode(col("paras")).as(Seq("pos", "para")))
+      .select(col("doc_id"), col("pos"), hexint60(col("para")).as("ph"))
+    val dupParas = exploded.groupBy("ph")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), min("doc_id").as("keeper_doc"))
+      .where(col("n_docs") >= 2)
+    val drops = exploded.join(dupParas, Seq("ph"))
+      .where(col("doc_id") =!= col("keeper_doc"))
+      .groupBy("doc_id").agg(collect_set(col("pos")).as("drop_pos"))
+    paraTable.join(drops, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("paras")).cast("long").as("n_paras"),
+        coalesce(size(col("drop_pos")).cast("long"), lit(0L)).as("n_dropped"),
+        array_join(filter(col("paras"), (_, i) =>
+          !array_contains(coalesce(col("drop_pos"), typedlit(Seq.empty[Int])), i)),
+          "\n").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup CLUSTERING — the step between pair detection and corpus
     * pruning: connected components over the verified MinHash+LSH pairs,
     * labeled by minimum doc_id, keeper = the minimum itself. A real

@@ -432,27 +432,30 @@ object TextAnalysis {
     */
   def c4Clean(spark: SparkSession, sfDir: String): DataFrame = {
     val d = loadDocs(spark, sfDir)
-    val id = d("doc_id")
-    val ws = nonEmptyWords(d("text"))
     val k = C4PlantLineWords
-    // number of planted base lines = ceil(n_words / k), as integer math
-    val nLines = floor((size(ws).cast("double") + (k - 1)) / k.toDouble).cast("int")
-    val base = when(size(ws) === 0, typedlit(Seq.empty[String]))
+    // every non-cheap array below is staged in its OWN projection and
+    // referenced >= 2x downstream, so CollapseProject keeps each stage
+    // materialized: the word array, chunk transform, and each plant CASE
+    // appear exactly once in the optimized tree (a naive when/otherwise
+    // chain inlines the whole chunk transform into every CASE branch —
+    // 2^3 copies; lazily evaluated, but unauditable. PlanShapeSpec pins
+    // the plant literals appearing exactly once.)
+    val sWords = d.select(d("doc_id"), nonEmptyWords(d("text")).as("ws"))
+    val nLines = floor((size(col("ws")).cast("double") + (k - 1)) / k.toDouble).cast("int")
+    val base = when(size(col("ws")) === 0, typedlit(Seq.empty[String]))
       .otherwise(transform(sequence(lit(0), nLines - 1), i =>
-        concat(array_join(slice(ws, i * k + 1, lit(k)), " "),
-          when(pmod(id + i, lit(3)) === 0, lit(" ."))
-            .when(pmod(id + i, lit(3)) === 1, lit(" !"))
+        concat(array_join(slice(col("ws"), i * k + 1, lit(k)), " "),
+          when(pmod(col("doc_id") + i, lit(3)) === 0, lit(" ."))
+            .when(pmod(col("doc_id") + i, lit(3)) === 1, lit(" !"))
             .otherwise(lit("")))))
-    val withJs = when(pmod(id, lit(11)) === 0,
-      concat(base, array(lit("please enable javascript to view this page ."))))
-      .otherwise(base)
-    val withLorem = when(pmod(id, lit(13)) === 0,
-      concat(withJs, array(lit("lorem ipsum dolor sit amet consectetur ."))))
-      .otherwise(withJs)
-    val planted = when(pmod(id, lit(17)) === 0,
-      concat(withLorem, array(lit("function main ( ) { return 0 }"))))
-      .otherwise(withLorem)
-    val s1 = d.select(id.as("doc_id"), planted.as("lines"))
+    def plant(in: DataFrame, from: String, to: String, m: Int, line: String) =
+      in.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(m)) === 0, concat(col(from), array(lit(line))))
+          .otherwise(col(from)).as(to))
+    val sBase = sWords.select(col("doc_id"), base.as("l0"))
+    val p1 = plant(sBase, "l0", "l1", 11, "please enable javascript to view this page .")
+    val p2 = plant(p1, "l1", "l2", 13, "lorem ipsum dolor sit amet consectetur .")
+    val s1 = plant(p2, "l2", "lines", 17, "function main ( ) { return 0 }")
     val s2 = s1.select(col("doc_id"), col("lines"),
       filter(col("lines"), l =>
         (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&

@@ -298,6 +298,46 @@ SELECT doc_id, t3 AS clean_text, n_emails, n_ips, n_phones,
 FROM s3 ORDER BY doc_id"""
   }
 
+  /** Cross-document paragraph dedup (mirrors
+    * [[graft.textops.Dedup.dedupParagraphs]]): replant the 7-word
+    * paragraph chunks, find paragraphs held by >= 2 docs, drop every
+    * occurrence outside the min-doc_id keeper, re-join the survivors.
+    * DuckDB indexed list lambdas are 1-BASED (Spark's are 0-based):
+    * positions are normalized to 0-based on both sides.
+    */
+  val dedupParagraphs: String = {
+    import graft.textops.Dedup
+    val k = Dedup.ParaChunkWords
+    s"""WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+ch AS (
+  SELECT doc_id,
+    list_transform(range((len(ws) + ${k - 1}) // $k), i ->
+      array_to_string(ws[i*$k+1:(i+1)*$k], ' ')) AS paras
+  FROM w),
+ex AS (
+  SELECT doc_id, CAST(u.pos - 1 AS INTEGER) AS pos, ${h60("u.para")} AS ph
+  FROM (SELECT doc_id,
+          unnest(list_transform(paras, (x,i) -> {'pos': i, 'para': x})) AS u
+        FROM ch)),
+f AS (
+  SELECT ph, min(doc_id) AS keeper_doc
+  FROM ex GROUP BY ph HAVING count(DISTINCT doc_id) >= 2),
+dr AS (
+  SELECT ex.doc_id, list(DISTINCT ex.pos) AS drop_pos
+  FROM ex JOIN f ON ex.ph = f.ph
+  WHERE ex.doc_id <> f.keeper_doc
+  GROUP BY ex.doc_id)
+SELECT ch.doc_id,
+  CAST(len(paras) AS BIGINT) AS n_paras,
+  CAST(coalesce(len(drop_pos), 0) AS BIGINT) AS n_dropped,
+  coalesce(array_to_string(
+    list_filter(paras, (x,i) -> NOT list_contains(coalesce(drop_pos, []), i - 1)),
+    chr(10)), '') AS clean_text
+FROM ch LEFT JOIN dr ON ch.doc_id = dr.doc_id
+ORDER BY ch.doc_id"""
+  }
+
   /** C4 line-level cleaning (mirrors
     * [[graft.textops.TextAnalysis.c4Clean]]): replant the deterministic
     * line structure (7-word chunks, `(doc_id + i) % 3` punctuation

@@ -109,6 +109,35 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!phys.contains("rangepartitioning"), s"\n$phys")
   }
 
+  test("c4 cleaning: staged projections, no HOF re-evaluation, sort-only exchange") {
+    val df = graft.textops.TextAnalysis.c4Clean(spark, sf)
+    val plan = optimized(df)
+    // 'javascript' appears ONCE in the planted-line literal and ONCE in
+    // the kept-filter lambda; 'lorem ipsum' ONCE in the plant and ONCE in
+    // the page verdict. Any CollapseProject duplication of the line or
+    // kept arrays multiplies these counts — the O(len) re-evaluation trap.
+    assert(count(plan, "javascript") === 2, s"\n$plan")
+    assert(count(plan, "lorem ipsum") === 2, s"\n$plan")
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("hashpartitioning"), s"\n$phys")
+    assert(!phys.contains("SinglePartition"), s"\n$phys")
+    assert(count(phys, "rangepartitioning") === 1, s"\n$phys")
+  }
+
+  test("paragraph dedup: keyed exchanges only, memoized paragraph table shared") {
+    val df = graft.textops.Dedup.dedupParagraphs(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    // fixed-width branches exchange on the paragraph hash (frequency +
+    // keeper, two-phase distinct agg) and doc_id (drop-set roll-up); the
+    // only range sort is the trailing oracle-shape orderBy; paragraph
+    // arrays come from ONE cached relation shared by all consumers
+    assert(phys.contains("hashpartitioning(ph"), s"\n$phys")
+    assert(phys.contains("hashpartitioning(doc_id"), s"\n$phys")
+    assert(!phys.contains("SinglePartition"), s"\n$phys")
+    assert(count(phys, "rangepartitioning") === 1, s"\n$phys")
+    assert(count(phys, "InMemoryTableScan") >= 3, s"\n$phys")
+  }
+
   test("flagship extraction plan has no shuffle and a pruned scan") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-planshape").toString
     graft.synth.SpanSynth.docsInput(spark, sf).write.mode("overwrite")

@@ -42,6 +42,36 @@ class TrainingOpsSpec extends AnyFunSuite with SparkSpec {
     assert(fullDups > 0)
   }
 
+  test("paragraph dedup removes exactly the non-keeper copies of shared paragraphs") {
+    val rows = Dedup.dedupParagraphs(spark, sf).collect()
+    assert(rows.length === docs.size)
+    val k = Dedup.ParaChunkWords
+    def paras(t: String): Array[String] =
+      t.split(" ", -1).filter(_.nonEmpty).grouped(k).map(_.mkString(" ")).toArray
+    val perDoc = docs.map { case (id, t) => id -> paras(t) }
+    val holders = new scala.collection.mutable.HashMap[String, scala.collection.mutable.Set[Long]]
+    perDoc.foreach { case (id, ps) =>
+      ps.foreach(p => holders.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += id)
+    }
+    var edited = 0; var partialEdits = 0
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val ps = perDoc(id)
+      val kept = ps.filter(p => holders(p).size < 2 || holders(p).min == id)
+      assert(r.getAs[Long]("n_paras") === ps.length.toLong, s"doc $id")
+      assert(r.getAs[Long]("n_dropped") === (ps.length - kept.length).toLong, s"doc $id")
+      assert(r.getAs[String]("clean_text") === kept.mkString("\n"), s"doc $id")
+      if (kept.length < ps.length) {
+        edited += 1
+        if (kept.nonEmpty) partialEdits += 1
+      }
+    }
+    // non-vacuous: the planted exact-dup docs lose all paragraphs, and the
+    // template-spam case (boilerplate removed, unique content kept) occurs
+    assert(edited > 0, "no doc was edited — fixture is vacuous")
+    assert(partialEdits > 0, "no partial edit — the RefinedWeb case is untested")
+  }
+
   test("c4 cleaning matches a brute-force line-rule reference") {
     val rows = TextAnalysis.c4Clean(spark, sf).collect()
     assert(rows.length === docs.size)
