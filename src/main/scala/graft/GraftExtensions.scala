@@ -2,7 +2,7 @@ package graft
 
 import graft.extract.{ExtractSpansExpr, HtmlStripExpr}
 import graft.synth.SynthSpansExpr
-import graft.textops.{FingerprintExpr, FormatBestEffortExpr, GramHashesExpr, JaccardExpr, RepetitionExpr, SimHashExpr}
+import graft.textops.{FingerprintExpr, FormatBestEffortExpr, GramHashesExpr, JaccardExpr, NfcNormalizeExpr, RepetitionExpr, SimHashExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -54,7 +54,9 @@ object GraftExtensions {
       "format_best_effort(response, template, example) - L4 JSON extraction cascade",
       arity(3, "format_best_effort", c => FormatBestEffortExpr(c(0), c(1), c(2)))),
     ("jaccard", "jaccard(arr_a, arr_b) - exact Jaccard of distinct string arrays, rounded to 6",
-      arity(2, "jaccard", c => JaccardExpr(c(0), c(1)))))
+      arity(2, "jaccard", c => JaccardExpr(c(0), c(1)))),
+    ("nfc_normalize", "nfc_normalize(text) - Unicode NFC normalization (DuckDB-name-compatible)",
+      arity(1, "nfc_normalize", c => NfcNormalizeExpr(c(0)))))
 
   /** Register all functions on an existing session's catalog. */
   def register(spark: SparkSession): Unit =

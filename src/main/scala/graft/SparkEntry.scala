@@ -76,6 +76,8 @@ object SparkEntry {
     "text_pii_scrub" -> ((s, dir) => graft.textops.TextAnalysis.piiScrub(s, dir)),
     // C4 line-level cleaning (planted line structure; Raffel et al. 2020)
     "text_c4_clean" -> ((s, dir) => graft.textops.TextAnalysis.c4Clean(s, dir)),
+    // Unicode fixing: C0 strip + NFC normalize (planted decomposed marks)
+    "text_fix_unicode" -> ((s, dir) => graft.textops.TextAnalysis.fixUnicode(s, dir)),
     // benchmark decontamination: 5-gram overlap vs the benchmark subset
     "corpus_decontam" -> ((s, dir) => graft.textops.Decontam.decontaminate(s, dir)),
     // corpus construction: deterministic training-mix sampling + packing
@@ -146,6 +148,7 @@ SELECT doc_id, kind, text, media_ref, "offset" FROM synth ORDER BY doc_id, "offs
     "text_fingerprint" -> graft.verify.TextOracles.fingerprint,
     "text_pii_scrub" -> graft.verify.TextOracles.piiScrub,
     "text_c4_clean" -> graft.verify.TextOracles.c4Clean,
+    "text_fix_unicode" -> graft.verify.TextOracles.fixUnicode,
     "corpus_decontam" -> graft.verify.TextOracles.decontaminate,
     "text_repetition" -> graft.verify.TextOracles.repetition,
     "text_gopher" -> graft.verify.TextOracles.gopherRules,

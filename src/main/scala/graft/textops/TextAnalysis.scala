@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.ColumnShim
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Corpus-level text analysis for training-data pipelines: language ID,
@@ -388,6 +388,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Control characters stripped by [[fixUnicode]]: the C0 range minus
+    * tab/newline/carriage-return (the whitespace a document legitimately
+    * carries). RE2-compatible class — the DuckDB oracle runs the
+    * byte-identical pattern.
+    */
+  val ControlCharPattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+
+  /** Unicode fixing — the ftfy/CCNet-style normalization pass every
+    * crawl pipeline runs before anything hashes or tokenizes text:
+    * strip C0 control characters ([[ControlCharPattern]]), then Unicode
+    * NFC normalization (combining sequences composed — 'e' + U+0301
+    * becomes U+00E9 — so byte-different renderings of the same text
+    * hash identically downstream). NFC runs in the native
+    * [[NfcNormalizeExpr]] kernel (`java.text.Normalizer`); DuckDB's
+    * `nfc_normalize` (utf8proc) implements the same Unicode algorithm,
+    * so the oracle is value-exact — both engines' agreement is itself
+    * pinned per row.
+    *
+    * The synthetic corpus is pure ASCII, so the query PLANTS
+    * deterministic decomposed sequences and a control character per
+    * doc_id (the piiScrub self-fixture style): combining acute on
+    * `doc_id % 3 = 0`, combining tilde + a BEL control on `% 3 = 1`,
+    * untouched otherwise — `changed` is exercised in both directions.
+    * All planted characters are BMP, keeping Spark's UTF-16 `length`
+    * and DuckDB's codepoint `length` equal.
+    *
+    * Scale shape: shuffle-free per-row projection (planted text staged
+    * in its own Project so the three downstream references do not
+    * re-evaluate the concat); trailing sort is oracle determinism only.
+    */
+  def fixUnicode(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = loadDocs(spark, sfDir)
+    val id = d("doc_id")
+    val planted = when(pmod(id, lit(3)) === 0,
+        concat(d("text"), lit(" cafe\u0301 menu")))
+      .when(pmod(id, lit(3)) === 1,
+        concat(d("text"), lit(" nin\u0303o\u0007 data")))
+      .otherwise(d("text"))
+    val s1 = d.select(id.as("doc_id"), planted.as("planted"))
+    val s2 = s1.select(col("doc_id"), col("planted"),
+      nfcNormalize(regexp_replace(col("planted"), ControlCharPattern, ""))
+        .as("clean_text"))
+    s2.select(col("doc_id"), col("clean_text"),
+        length(col("planted")).cast("long").as("len_before"),
+        length(col("clean_text")).cast("long").as("len_after"),
+        (col("clean_text") =!= col("planted")).as("changed"))
+      .orderBy("doc_id")
+  }
+
+  def nfcNormalize(c: Column): Column =
+    ColumnShim.column(NfcNormalizeExpr(ColumnShim.expression(c)))
+
   /** C4 line-level cleaning constants — frozen per the published C4
     * heuristics (Raffel et al. 2020 §2.2, "Exploring the Limits of
     * Transfer Learning…"): retain only lines ending in a terminal
@@ -586,4 +638,21 @@ case class GramHashesExpr(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(newChild: Expression): GramHashesExpr =
     copy(child = newChild)
   override def prettyName: String = "gram_hashes60"
+}
+
+/** Catalyst expression: Unicode NFC normalization via
+  * `java.text.Normalizer` — the same Unicode Normalization Algorithm
+  * DuckDB's `nfc_normalize` (utf8proc) implements, so the two engines are
+  * value-exact (pinned by the fixUnicode oracle and TrainingOpsSpec).
+  * Registered under the SAME SQL name as DuckDB's builtin.
+  */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFC))
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "nfc_normalize"
 }

@@ -298,6 +298,33 @@ SELECT doc_id, t3 AS clean_text, n_emails, n_ips, n_phones,
 FROM s3 ORDER BY doc_id"""
   }
 
+  /** Unicode fixing (mirrors [[graft.textops.TextAnalysis.fixUnicode]]):
+    * plant the decomposed sequences / control char per doc_id (chr() is
+    * the portable carrier — the codepoints match the Scala \\u escapes),
+    * strip C0 controls with the byte-identical pattern, then DuckDB's
+    * own `nfc_normalize` (utf8proc) against the kernel's
+    * `java.text.Normalizer` — the oracle pins the two Unicode
+    * implementations' agreement per row.
+    */
+  val fixUnicode: String = {
+    import graft.textops.TextAnalysis.ControlCharPattern
+    s"""WITH p AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN text || ' cafe' || chr(769) || ' menu'
+         WHEN doc_id % 3 = 1 THEN text || ' nin' || chr(771) || 'o' || chr(7) || ' data'
+         ELSE text END AS planted
+  FROM documents),
+c AS (
+  SELECT doc_id, planted,
+    nfc_normalize(regexp_replace(planted, '$ControlCharPattern', '', 'g')) AS clean_text
+  FROM p)
+SELECT doc_id, clean_text,
+  CAST(length(planted) AS BIGINT) AS len_before,
+  CAST(length(clean_text) AS BIGINT) AS len_after,
+  clean_text <> planted AS changed
+FROM c ORDER BY doc_id"""
+  }
+
   /** Cross-document paragraph dedup (mirrors
     * [[graft.textops.Dedup.dedupParagraphs]]): replant the 7-word
     * paragraph chunks, find paragraphs held by >= 2 docs, drop every

@@ -56,6 +56,13 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       === direct)
   }
 
+  test("nfc_normalize callable from SQL, matches java.text.Normalizer") {
+    val r = spark.sql("SELECT nfc_normalize('cafe\u0301') AS n").collect()(0).getString(0)
+    assert(r === java.text.Normalizer.normalize(
+      "cafe\u0301", java.text.Normalizer.Form.NFC))
+    assert(r.length === 4) // composed: combining acute folded into the e
+  }
+
   test("extensions class injects without error") {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }

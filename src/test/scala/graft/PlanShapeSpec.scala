@@ -35,11 +35,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("array_intersect"))
   }
 
-  test("fingerprint/simhash kernels appear once in their queries") {
+  test("fingerprint/simhash/nfc kernels appear once in their queries") {
     val fp = optimized(graft.textops.TextAnalysis.fingerprint(spark, sf))
     assert(count(fp, "fingerprint60(") === 1, s"\n$fp")
     val sh = optimized(graft.textops.Dedup.simhashFingerprints(spark, sf))
     assert(count(sh, "simhash60(") === 1, s"\n$sh")
+    val fu = optimized(graft.textops.TextAnalysis.fixUnicode(spark, sf))
+    assert(count(fu, "nfc_normalize(") === 1, s"\n$fu")
   }
 
   test("sharded packing exchanges on shard, never SinglePartition") {

@@ -42,6 +42,32 @@ class TrainingOpsSpec extends AnyFunSuite with SparkSpec {
     assert(fullDups > 0)
   }
 
+  test("unicode fixing matches Normalizer NFC after the control strip") {
+    val rows = TextAnalysis.fixUnicode(spark, sf).collect()
+    assert(rows.length === docs.size)
+    var composed = 0; var untouched = 0
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val planted = (id % 3).toInt match {
+        case 0 => docs(id) + " cafe\u0301 menu"
+        case 1 => docs(id) + " nin\u0303o\u0007 data"
+        case _ => docs(id)
+      }
+      val clean = java.text.Normalizer.normalize(
+        planted.replaceAll(TextAnalysis.ControlCharPattern, ""),
+        java.text.Normalizer.Form.NFC)
+      assert(r.getAs[String]("clean_text") === clean, s"doc $id")
+      assert(r.getAs[Long]("len_before") === planted.length.toLong, s"doc $id")
+      assert(r.getAs[Long]("len_after") === clean.length.toLong, s"doc $id")
+      assert(r.getAs[Boolean]("changed") === (clean != planted), s"doc $id")
+      if (id % 3 == 0) { composed += 1; assert(r.getAs[Boolean]("changed"), s"doc $id") }
+      // tilde composes (-1) and the BEL strips (-1)
+      if (id % 3 == 1) assert(r.getAs[Long]("len_after") === planted.length - 2L, s"doc $id")
+      if (id % 3 == 2) { untouched += 1; assert(!r.getAs[Boolean]("changed"), s"doc $id") }
+    }
+    assert(composed > 0 && untouched > 0)
+  }
+
   test("paragraph dedup removes exactly the non-keeper copies of shared paragraphs") {
     val rows = Dedup.dedupParagraphs(spark, sf).collect()
     assert(rows.length === docs.size)
