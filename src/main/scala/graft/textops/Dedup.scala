@@ -324,12 +324,8 @@ object Dedup {
     val k = ParaChunkWords
     val paraTable = memoized(spark, s"$sfDir#para-chunks") {
       val d = TextAnalysis.loadDocs(spark, sfDir)
-      val ws = TextAnalysis.nonEmptyWords(d("text"))
-      val nChunks = floor((size(ws).cast("double") + (k - 1)) / k.toDouble).cast("int")
-      val chunks = when(size(ws) === 0, typedlit(Seq.empty[String]))
-        .otherwise(transform(sequence(lit(0), nChunks - 1),
-          i => array_join(slice(ws, i * k + 1, lit(k)), " ")))
-      d.select(d("doc_id"), chunks.as("paras"))
+      d.select(d("doc_id"),
+        TextAnalysis.chunkWords(TextAnalysis.nonEmptyWords(d("text")), k).as("paras"))
     }
     val exploded = paraTable
       .select(col("doc_id"), posexplode(col("paras")).as(Seq("pos", "para")))

@@ -443,20 +443,37 @@ object TextAnalysis {
   /** C4 line-level cleaning constants — frozen per the published C4
     * heuristics (Raffel et al. 2020 §2.2, "Exploring the Limits of
     * Transfer Learning…"): retain only lines ending in a terminal
-    * punctuation mark with at least [[C4LineMinWords]] words and no
-    * `javascript` token; drop whole pages with fewer than
-    * [[C4PageMinLines]] retained lines, or containing `lorem ipsum` or a
-    * curly brace.
+    * punctuation mark with at least [[C4LineMinWords]] CONTENT words
+    * (standalone punctuation tokens excluded — the planted suffix is a
+    * separate token, so counting it would quietly lower the paper's
+    * 5-word rule to 4) and no `javascript` token; drop whole pages with
+    * fewer than [[C4PageMinLines]] retained lines, or containing
+    * `lorem ipsum` or a curly brace.
     */
   val C4LineMinWords = 5
   val C4PageMinLines = 3
   val C4PlantLineWords = 7
+  val C4PunctTokens: Seq[String] = Seq(".", "!", "?", "\"")
+
+  /** ceil(n/k) k-word chunks of a pre-split word array — the planted
+    * paragraph/line unit shared by [[c4Clean]] and
+    * [[Dedup.dedupParagraphs]], mirrored by the oracles'
+    * `TextOracles.chunkSql` (ONE definition per engine — the empty-array
+    * guard exists because `sequence(0, -1)` descends).
+    */
+  private[graft] def chunkWords(ws: Column, k: Int): Column = {
+    val n = floor((size(ws).cast("double") + (k - 1)) / k.toDouble).cast("int")
+    when(size(ws) === 0, typedlit(Seq.empty[String]))
+      .otherwise(transform(sequence(lit(0), n - 1),
+        i => array_join(slice(ws, i * k + 1, lit(k)), " ")))
+  }
 
   /** C4-style line-level cleaning — the classic Common Crawl pre-training
     * text cleanup (Raffel et al. 2020 §2.2), per document:
     *
     *  - keep only lines that end in terminal punctuation (`.` `!` `?`
-    *    `"`), carry >= [[C4LineMinWords]] words, and do not contain the
+    *    `"`), carry >= [[C4LineMinWords]] content words (standalone
+    *    punctuation tokens excluded), and do not contain the
     *    word `javascript`;
     *  - page verdict: keep the doc only if >= [[C4PageMinLines]] lines
     *    survive AND the page contains neither the `lorem ipsum`
@@ -493,13 +510,11 @@ object TextAnalysis {
     // 2^3 copies; lazily evaluated, but unauditable. PlanShapeSpec pins
     // the plant literals appearing exactly once.)
     val sWords = d.select(d("doc_id"), nonEmptyWords(d("text")).as("ws"))
-    val nLines = floor((size(col("ws")).cast("double") + (k - 1)) / k.toDouble).cast("int")
-    val base = when(size(col("ws")) === 0, typedlit(Seq.empty[String]))
-      .otherwise(transform(sequence(lit(0), nLines - 1), i =>
-        concat(array_join(slice(col("ws"), i * k + 1, lit(k)), " "),
-          when(pmod(col("doc_id") + i, lit(3)) === 0, lit(" ."))
-            .when(pmod(col("doc_id") + i, lit(3)) === 1, lit(" !"))
-            .otherwise(lit("")))))
+    val base = transform(chunkWords(col("ws"), k), (c, i) =>
+      concat(c,
+        when(pmod(col("doc_id") + i, lit(3)) === 0, lit(" ."))
+          .when(pmod(col("doc_id") + i, lit(3)) === 1, lit(" !"))
+          .otherwise(lit(""))))
     def plant(in: DataFrame, from: String, to: String, m: Int, line: String) =
       in.select(col("doc_id"),
         when(pmod(col("doc_id"), lit(m)) === 0, concat(col(from), array(lit(line))))
@@ -508,11 +523,17 @@ object TextAnalysis {
     val p1 = plant(sBase, "l0", "l1", 11, "please enable javascript to view this page .")
     val p2 = plant(p1, "l1", "l2", 13, "lorem ipsum dolor sit amet consectetur .")
     val s1 = plant(p2, "l2", "lines", 17, "function main ( ) { return 0 }")
+    // one split per line: bind (line, word-array) in a struct, apply the
+    // three line rules to the bound fields, project the line back out
     val s2 = s1.select(col("doc_id"), col("lines"),
-      filter(col("lines"), l =>
-        (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&
-          size(filter(split(l, " "), w => w =!= "")) >= C4LineMinWords &&
-          !array_contains(split(l, " "), "javascript")).as("kept"),
+      transform(filter(
+        transform(col("lines"), l =>
+          struct(l.as("l"), filter(split(l, " "), w => w =!= "").as("w"))),
+        s => (s("l").endsWith(".") || s("l").endsWith("!") ||
+            s("l").endsWith("?") || s("l").endsWith("\"")) &&
+          size(filter(s("w"), w => !w.isin(C4PunctTokens: _*))) >= C4LineMinWords &&
+          !array_contains(s("w"), "javascript")),
+        s => s("l")).as("kept"),
       array_join(col("lines"), "\n").as("page_text"))
     s2.select(col("doc_id"),
         size(col("lines")).cast("long").as("n_lines"),

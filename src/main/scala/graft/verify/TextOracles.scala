@@ -12,6 +12,15 @@ object TextOracles {
   import PortableHash.{duckHexint32 => h32, duckHexint60 => h60}
 
   private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  /** DuckDB twin of [[graft.textops.TextAnalysis.chunkWords]]: ceil(n/k)
+    * k-word chunks of a word-array column (`range()` is the 0-based
+    * index list; DuckDB slices are 1-based inclusive and clamp like
+    * Spark's `slice`; `range(0)` is `[]`, covering the empty case).
+    */
+  private def chunkSql(ws: String, k: Int): String =
+    s"list_transform(range((len($ws) + ${k - 1}) // $k), i -> " +
+      s"array_to_string($ws[i*$k+1:(i+1)*$k], ' '))"
   private val enStop = inList(TextAnalysis.EnStop)
   private val ptStop = inList(TextAnalysis.PtStop)
 
@@ -338,10 +347,7 @@ FROM c ORDER BY doc_id"""
     s"""WITH w AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
 ch AS (
-  SELECT doc_id,
-    list_transform(range((len(ws) + ${k - 1}) // $k), i ->
-      array_to_string(ws[i*$k+1:(i+1)*$k], ' ')) AS paras
-  FROM w),
+  SELECT doc_id, ${chunkSql("ws", k)} AS paras FROM w),
 ex AS (
   SELECT doc_id, CAST(u.pos - 1 AS INTEGER) AS pos, ${h60("u.para")} AS ph
   FROM (SELECT doc_id,
@@ -378,14 +384,14 @@ ORDER BY ch.doc_id"""
     val k = C4PlantLineWords
     s"""WITH w AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+ck AS (SELECT doc_id, ${chunkSql("ws", k)} AS chunks FROM w),
 b AS (
   SELECT doc_id,
-    list_transform(range((len(ws) + ${k - 1}) // $k), i ->
-      array_to_string(ws[i*$k+1:(i+1)*$k], ' ') ||
-      CASE WHEN (doc_id + i) % 3 = 0 THEN ' .'
-           WHEN (doc_id + i) % 3 = 1 THEN ' !'
+    list_transform(chunks, (x, i) -> x ||
+      CASE WHEN (doc_id + i - 1) % 3 = 0 THEN ' .'
+           WHEN (doc_id + i - 1) % 3 = 1 THEN ' !'
            ELSE '' END) AS base
-  FROM w),
+  FROM ck),
 p1 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
     THEN list_concat(base, ['please enable javascript to view this page .'])
     ELSE base END AS l1 FROM b),
@@ -399,7 +405,8 @@ c AS (
   SELECT doc_id, lines,
     list_filter(lines, l ->
       right(l, 1) IN ('.', '!', '?', '"')
-      AND len(list_filter(string_split(l, ' '), x -> x <> '')) >= $C4LineMinWords
+      AND len(list_filter(string_split(l, ' '),
+        x -> x <> '' AND x NOT IN ('.', '!', '?', '"'))) >= $C4LineMinWords
       AND NOT list_contains(string_split(l, ' '), 'javascript')) AS kept,
     -- array_to_string([]) is NULL in DuckDB but '' in Spark: coalesce
     coalesce(array_to_string(lines, chr(10)), '') AS page_text

@@ -117,7 +117,8 @@ class TrainingOpsSpec extends AnyFunSuite with SparkSpec {
       val kept = lines.filter { l =>
         val lw = l.split(" ", -1).filter(_.nonEmpty)
         punct.contains(l.last) &&
-          lw.length >= TextAnalysis.C4LineMinWords &&
+          lw.count(w => !TextAnalysis.C4PunctTokens.contains(w)) >=
+            TextAnalysis.C4LineMinWords &&
           !lw.contains("javascript")
       }
       val full = lines.mkString("\n")
@@ -130,7 +131,9 @@ class TrainingOpsSpec extends AnyFunSuite with SparkSpec {
       if (id % 11 == 0) jsDocs += 1
       if (!keep) pageDrops += 1
       if (lines.exists(l => punct.contains(l.last) &&
-        l.split(" ", -1).count(_.nonEmpty) < TextAnalysis.C4LineMinWords)) raggedDrops += 1
+        l.split(" ", -1).count(w =>
+          w.nonEmpty && !TextAnalysis.C4PunctTokens.contains(w)) <
+          TextAnalysis.C4LineMinWords)) raggedDrops += 1
     }
     // every rule must be exercised by the fixture, not vacuous: the
     // javascript word rule (lines that pass punct+length but carry the
