@@ -78,6 +78,9 @@ object SparkEntry {
     "text_c4_clean" -> ((s, dir) => graft.textops.TextAnalysis.c4Clean(s, dir)),
     // Unicode fixing: C0 strip + NFC normalize (planted decomposed marks)
     "text_fix_unicode" -> ((s, dir) => graft.textops.TextAnalysis.fixUnicode(s, dir)),
+    // the text-REPAIR capstone: unicode fix -> C4 line/page rules ->
+    // cross-doc line dedup, composed from the audited definitions
+    "corpus_clean" -> ((s, dir) => graft.textops.TextAnalysis.cleanPipeline(s, dir)),
     // benchmark decontamination: 5-gram overlap vs the benchmark subset
     "corpus_decontam" -> ((s, dir) => graft.textops.Decontam.decontaminate(s, dir)),
     // corpus construction: deterministic training-mix sampling + packing
@@ -149,6 +152,7 @@ SELECT doc_id, kind, text, media_ref, "offset" FROM synth ORDER BY doc_id, "offs
     "text_pii_scrub" -> graft.verify.TextOracles.piiScrub,
     "text_c4_clean" -> graft.verify.TextOracles.c4Clean,
     "text_fix_unicode" -> graft.verify.TextOracles.fixUnicode,
+    "corpus_clean" -> graft.verify.TextOracles.corpusClean,
     "corpus_decontam" -> graft.verify.TextOracles.decontaminate,
     "text_repetition" -> graft.verify.TextOracles.repetition,
     "text_gopher" -> graft.verify.TextOracles.gopherRules,

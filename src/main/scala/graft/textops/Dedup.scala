@@ -327,6 +327,16 @@ object Dedup {
       d.select(d("doc_id"),
         TextAnalysis.chunkWords(TextAnalysis.nonEmptyWords(d("text")), k).as("paras"))
     }
+    dedupParaCore(paraTable).orderBy("doc_id")
+  }
+
+  /** Core of [[dedupParagraphs]] over ANY `(doc_id, paras)` table —
+    * [[dedupParagraphs]] feeds raw-text word chunks; the cleanup
+    * capstone ([[TextAnalysis.cleanPipeline]]) feeds C4-kept lines.
+    * The caller must persist/memoize `paraTable`: it has two consumers
+    * (the explode branch and the join-back).
+    */
+  private[graft] def dedupParaCore(paraTable: DataFrame): DataFrame = {
     val exploded = paraTable
       .select(col("doc_id"), posexplode(col("paras")).as(Seq("pos", "para")))
       .select(col("doc_id"), col("pos"), hexint60(col("para")).as("ph"))
@@ -343,7 +353,6 @@ object Dedup {
         array_join(filter(col("paras"), (_, i) =>
           !array_contains(coalesce(col("drop_pos"), typedlit(Seq.empty[Int])), i)),
           "\n").as("clean_text"))
-      .orderBy("doc_id")
   }
 
   /** Near-dup CLUSTERING — the step between pair detection and corpus

@@ -420,22 +420,30 @@ object TextAnalysis {
     */
   def fixUnicode(spark: SparkSession, sfDir: String): DataFrame = {
     val d = loadDocs(spark, sfDir)
-    val id = d("doc_id")
-    val planted = when(pmod(id, lit(3)) === 0,
-        concat(d("text"), lit(" cafe\u0301 menu")))
-      .when(pmod(id, lit(3)) === 1,
-        concat(d("text"), lit(" nin\u0303o\u0007 data")))
-      .otherwise(d("text"))
-    val s1 = d.select(id.as("doc_id"), planted.as("planted"))
+    val s1 = d.select(d("doc_id").as("doc_id"),
+      plantUnicode(d("doc_id"), d("text")).as("planted"))
     val s2 = s1.select(col("doc_id"), col("planted"),
-      nfcNormalize(regexp_replace(col("planted"), ControlCharPattern, ""))
-        .as("clean_text"))
+      fixUnicodeCol(col("planted")).as("clean_text"))
     s2.select(col("doc_id"), col("clean_text"),
         length(col("planted")).cast("long").as("len_before"),
         length(col("clean_text")).cast("long").as("len_after"),
         (col("clean_text") =!= col("planted")).as("changed"))
       .orderBy("doc_id")
   }
+
+  /** The ONE unicode-repair definition ([[fixUnicode]]'s rule): strip C0
+    * controls, then NFC — shared with the cleanup capstone.
+    */
+  def fixUnicodeCol(text: Column): Column =
+    nfcNormalize(regexp_replace(text, ControlCharPattern, ""))
+
+  /** [[fixUnicode]]'s planted decomposed marks / control char (shared by
+    * the cleanup capstone so both queries exercise the same repair).
+    */
+  private[graft] def plantUnicode(id: Column, text: Column): Column =
+    when(pmod(id, lit(3)) === 0, concat(text, lit(" cafe\u0301 menu")))
+      .when(pmod(id, lit(3)) === 1, concat(text, lit(" nin\u0303o\u0007 data")))
+      .otherwise(text)
 
   def nfcNormalize(c: Column): Column =
     ColumnShim.column(NfcNormalizeExpr(ColumnShim.expression(c)))
@@ -501,16 +509,36 @@ object TextAnalysis {
     */
   def c4Clean(spark: SparkSession, sfDir: String): DataFrame = {
     val d = loadDocs(spark, sfDir)
-    val k = C4PlantLineWords
-    // every non-cheap array below is staged in its OWN projection and
-    // referenced >= 2x downstream, so CollapseProject keeps each stage
-    // materialized: the word array, chunk transform, and each plant CASE
-    // appear exactly once in the optimized tree (a naive when/otherwise
-    // chain inlines the whole chunk transform into every CASE branch —
-    // 2^3 copies; lazily evaluated, but unauditable. PlanShapeSpec pins
-    // the plant literals appearing exactly once.)
-    val sWords = d.select(d("doc_id"), nonEmptyWords(d("text")).as("ws"))
-    val base = transform(chunkWords(col("ws"), k), (c, i) =>
+    val s1 = c4PlantedLines(
+      d.select(d("doc_id"), nonEmptyWords(d("text")).as("ws")))
+    val s2 = s1.select(col("doc_id"), col("lines"),
+      c4KeptCol(col("lines")).as("kept"),
+      array_join(col("lines"), "\n").as("page_text"))
+    s2.select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        c4PageKeepCol(col("kept"), col("page_text")).as("page_keep"),
+        array_join(col("kept"), "\n").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** The planted line table `(doc_id, lines)` from a `(doc_id, ws)`
+    * projection — chunking, per-line punctuation suffix, and the sparse
+    * plants: a shared BOILERPLATE footer on `d % 7 = 0` (identical
+    * across its docs — it passes every line rule, so C4 keeps it and the
+    * cleanup capstone's line dedup strips the copies: the RefinedWeb
+    * case), then the javascript / lorem-ipsum / brace poison lines.
+    *
+    * Every non-cheap array is staged in its OWN projection and
+    * referenced >= 2x downstream, so CollapseProject keeps each stage
+    * materialized: the chunk transform and each plant CASE appear
+    * exactly once in the optimized tree (a naive when/otherwise chain
+    * inlines the whole chunk transform into every CASE branch — 2^4
+    * copies; lazily evaluated, but unauditable. PlanShapeSpec pins the
+    * plant literals appearing exactly once.)
+    */
+  private[graft] def c4PlantedLines(sWords: DataFrame): DataFrame = {
+    val base = transform(chunkWords(col("ws"), C4PlantLineWords), (c, i) =>
       concat(c,
         when(pmod(col("doc_id") + i, lit(3)) === 0, lit(" ."))
           .when(pmod(col("doc_id") + i, lit(3)) === 1, lit(" !"))
@@ -520,29 +548,69 @@ object TextAnalysis {
         when(pmod(col("doc_id"), lit(m)) === 0, concat(col(from), array(lit(line))))
           .otherwise(col(from)).as(to))
     val sBase = sWords.select(col("doc_id"), base.as("l0"))
-    val p1 = plant(sBase, "l0", "l1", 11, "please enable javascript to view this page .")
+    val p0 = plant(sBase, "l0", "lf", 7, C4FooterLine)
+    val p1 = plant(p0, "lf", "l1", 11, "please enable javascript to view this page .")
     val p2 = plant(p1, "l1", "l2", 13, "lorem ipsum dolor sit amet consectetur .")
-    val s1 = plant(p2, "l2", "lines", 17, "function main ( ) { return 0 }")
-    // one split per line: bind (line, word-array) in a struct, apply the
-    // three line rules to the bound fields, project the line back out
-    val s2 = s1.select(col("doc_id"), col("lines"),
-      transform(filter(
-        transform(col("lines"), l =>
-          struct(l.as("l"), filter(split(l, " "), w => w =!= "").as("w"))),
-        s => (s("l").endsWith(".") || s("l").endsWith("!") ||
-            s("l").endsWith("?") || s("l").endsWith("\"")) &&
-          size(filter(s("w"), w => !w.isin(C4PunctTokens: _*))) >= C4LineMinWords &&
-          !array_contains(s("w"), "javascript")),
-        s => s("l")).as("kept"),
+    plant(p2, "l2", "lines", 17, "function main ( ) { return 0 }")
+  }
+
+  /** The planted boilerplate footer (see [[c4PlantedLines]]). */
+  val C4FooterLine = "all rights reserved contact us for details ."
+
+  /** The kept-line array (the three C4 line rules) — one split per line:
+    * the word array is bound next to its line in a struct, the rules
+    * apply to the bound fields, and the line projects back out.
+    */
+  private[graft] def c4KeptCol(lines: Column): Column =
+    transform(filter(
+      transform(lines, l =>
+        struct(l.as("l"), filter(split(l, " "), w => w =!= "").as("w"))),
+      s => (s("l").endsWith(".") || s("l").endsWith("!") ||
+          s("l").endsWith("?") || s("l").endsWith("\"")) &&
+        size(filter(s("w"), w => !w.isin(C4PunctTokens: _*))) >= C4LineMinWords &&
+        !array_contains(s("w"), "javascript")),
+      s => s("l"))
+
+  /** The C4 page verdict (shared with the cleanup capstone). */
+  private[graft] def c4PageKeepCol(kept: Column, pageText: Column): Column =
+    size(kept) >= C4PageMinLines &&
+      !pageText.contains("lorem ipsum") && !pageText.contains("{")
+
+  /** The text-REPAIR capstone — the editing-side composition a real
+    * ingest runs before any filtering or corpus assembly, composed
+    * entirely from the audited single-op column definitions (no logic
+    * forks; the filter-side twin is [[Corpus.curate]]):
+    *
+    *  1. unicode fixing ([[fixUnicodeCol]] over [[plantUnicode]]'s
+    *     artifacts — repair runs FIRST so nothing downstream hashes or
+    *     counts byte-variant renderings of the same text);
+    *  2. C4 line cleanup on the REPAIRED text ([[c4PlantedLines]] +
+    *     [[c4KeptCol]]); the page verdict drops failing docs entirely
+    *     (they contribute nothing to dedup statistics);
+    *  3. cross-document line dedup over the surviving pages' kept lines
+    *     ([[Dedup.dedupParaCore]]) — the C4 lines ARE the passage unit,
+    *     no second chunking; the planted [[C4FooterLine]] boilerplate is
+    *     stripped everywhere except its min-doc_id keeper.
+    *
+    * Scale shape: stages 1-2 are one shuffle-free projection chain off
+    * the scan (one text pass); the kept-line table is the persisted
+    * stage boundary (memoized here, written out in deployment — it has
+    * two consumers in the dedup core); stage 3 shuffles fixed-width
+    * (doc_id, pos, hash) rows only. Trailing sort is oracle determinism.
+    */
+  def cleanPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = loadDocs(spark, sfDir)
+    val cleaned = d.select(d("doc_id"),
+      fixUnicodeCol(plantUnicode(d("doc_id"), d("text"))).as("clean"))
+    val s1 = c4PlantedLines(
+      cleaned.select(col("doc_id"), nonEmptyWords(col("clean")).as("ws")))
+    val s2 = s1.select(col("doc_id"), c4KeptCol(col("lines")).as("paras"),
       array_join(col("lines"), "\n").as("page_text"))
-    s2.select(col("doc_id"),
-        size(col("lines")).cast("long").as("n_lines"),
-        size(col("kept")).cast("long").as("n_kept"),
-        (size(col("kept")) >= C4PageMinLines &&
-          !col("page_text").contains("lorem ipsum") &&
-          !col("page_text").contains("{")).as("page_keep"),
-        array_join(col("kept"), "\n").as("clean_text"))
-      .orderBy("doc_id")
+    val pages = SessionMemo(spark, s"$sfDir#clean-pages") {
+      s2.where(c4PageKeepCol(col("paras"), col("page_text")))
+        .select("doc_id", "paras")
+    }
+    Dedup.dedupParaCore(pages).orderBy("doc_id")
   }
 
   /** Document fingerprint: minimum keyed hash over the rolling window of

@@ -334,6 +334,34 @@ SELECT doc_id, clean_text,
 FROM c ORDER BY doc_id"""
   }
 
+  /** The paragraph-dedup tail over any `paras`-holding CTE — mirrors
+    * [[graft.textops.Dedup.dedupParaCore]]. DuckDB indexed list lambdas
+    * are 1-BASED (Spark's are 0-based): positions are normalized to
+    * 0-based on both sides.
+    */
+  private def paraDedupSql(parasCte: String): String =
+    s"""ex AS (
+  SELECT doc_id, CAST(u.pos - 1 AS INTEGER) AS pos, ${h60("u.para")} AS ph
+  FROM (SELECT doc_id,
+          unnest(list_transform(paras, (x,i) -> {'pos': i, 'para': x})) AS u
+        FROM $parasCte)),
+f AS (
+  SELECT ph, min(doc_id) AS keeper_doc
+  FROM ex GROUP BY ph HAVING count(DISTINCT doc_id) >= 2),
+dr AS (
+  SELECT ex.doc_id, list(DISTINCT ex.pos) AS drop_pos
+  FROM ex JOIN f ON ex.ph = f.ph
+  WHERE ex.doc_id <> f.keeper_doc
+  GROUP BY ex.doc_id)
+SELECT $parasCte.doc_id,
+  CAST(len(paras) AS BIGINT) AS n_paras,
+  CAST(coalesce(len(drop_pos), 0) AS BIGINT) AS n_dropped,
+  coalesce(array_to_string(
+    list_filter(paras, (x,i) -> NOT list_contains(coalesce(drop_pos, []), i - 1)),
+    chr(10)), '') AS clean_text
+FROM $parasCte LEFT JOIN dr ON $parasCte.doc_id = dr.doc_id
+ORDER BY $parasCte.doc_id"""
+
   /** Cross-document paragraph dedup (mirrors
     * [[graft.textops.Dedup.dedupParagraphs]]): replant the 7-word
     * paragraph chunks, find paragraphs held by >= 2 docs, drop every
@@ -343,32 +371,53 @@ FROM c ORDER BY doc_id"""
     */
   val dedupParagraphs: String = {
     import graft.textops.Dedup
-    val k = Dedup.ParaChunkWords
     s"""WITH w AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
 ch AS (
-  SELECT doc_id, ${chunkSql("ws", k)} AS paras FROM w),
-ex AS (
-  SELECT doc_id, CAST(u.pos - 1 AS INTEGER) AS pos, ${h60("u.para")} AS ph
-  FROM (SELECT doc_id,
-          unnest(list_transform(paras, (x,i) -> {'pos': i, 'para': x})) AS u
-        FROM ch)),
-f AS (
-  SELECT ph, min(doc_id) AS keeper_doc
-  FROM ex GROUP BY ph HAVING count(DISTINCT doc_id) >= 2),
-dr AS (
-  SELECT ex.doc_id, list(DISTINCT ex.pos) AS drop_pos
-  FROM ex JOIN f ON ex.ph = f.ph
-  WHERE ex.doc_id <> f.keeper_doc
-  GROUP BY ex.doc_id)
-SELECT ch.doc_id,
-  CAST(len(paras) AS BIGINT) AS n_paras,
-  CAST(coalesce(len(drop_pos), 0) AS BIGINT) AS n_dropped,
-  coalesce(array_to_string(
-    list_filter(paras, (x,i) -> NOT list_contains(coalesce(drop_pos, []), i - 1)),
-    chr(10)), '') AS clean_text
-FROM ch LEFT JOIN dr ON ch.doc_id = dr.doc_id
-ORDER BY ch.doc_id"""
+  SELECT doc_id, ${chunkSql("ws", Dedup.ParaChunkWords)} AS paras FROM w),
+${paraDedupSql("ch")}"""
+  }
+
+  /** CTE block planting the C4 line table from a words CTE
+    * `(doc_id, ws)` — mirrors
+    * [[graft.textops.TextAnalysis.c4PlantedLines]] (chunk + suffix +
+    * footer/javascript/lorem/brace plants). Ends with `pl(doc_id, lines)`.
+    */
+  private def c4PlantCtes(from: String): String = {
+    import graft.textops.TextAnalysis._
+    s"""ck AS (SELECT doc_id, ${chunkSql("ws", C4PlantLineWords)} AS chunks FROM $from),
+b AS (
+  SELECT doc_id,
+    list_transform(chunks, (x, i) -> x ||
+      CASE WHEN (doc_id + i - 1) % 3 = 0 THEN ' .'
+           WHEN (doc_id + i - 1) % 3 = 1 THEN ' !'
+           ELSE '' END) AS base
+  FROM ck),
+p0 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+    THEN list_concat(base, ['$C4FooterLine'])
+    ELSE base END AS lf FROM b),
+p1 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
+    THEN list_concat(lf, ['please enable javascript to view this page .'])
+    ELSE lf END AS l1 FROM p0),
+p2 AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0
+    THEN list_concat(l1, ['lorem ipsum dolor sit amet consectetur .'])
+    ELSE l1 END AS l2 FROM p1),
+pl AS (SELECT doc_id, CASE WHEN doc_id % 17 = 0
+    THEN list_concat(l2, ['function main ( ) { return 0 }'])
+    ELSE l2 END AS lines FROM p2)"""
+  }
+
+  /** The C4 kept-line filter over a lines column — mirrors
+    * [[graft.textops.TextAnalysis.c4KeptCol]] (content words exclude
+    * standalone punctuation tokens).
+    */
+  private def c4KeptSql(lines: String): String = {
+    import graft.textops.TextAnalysis._
+    s"""list_filter($lines, l ->
+      right(l, 1) IN ('.', '!', '?', '"')
+      AND len(list_filter(string_split(l, ' '),
+        x -> x <> '' AND x NOT IN ('.', '!', '?', '"'))) >= $C4LineMinWords
+      AND NOT list_contains(string_split(l, ' '), 'javascript'))"""
   }
 
   /** C4 line-level cleaning (mirrors
@@ -381,36 +430,15 @@ ORDER BY ch.doc_id"""
     */
   val c4Clean: String = {
     import graft.textops.TextAnalysis._
-    val k = C4PlantLineWords
     s"""WITH w AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
-ck AS (SELECT doc_id, ${chunkSql("ws", k)} AS chunks FROM w),
-b AS (
-  SELECT doc_id,
-    list_transform(chunks, (x, i) -> x ||
-      CASE WHEN (doc_id + i - 1) % 3 = 0 THEN ' .'
-           WHEN (doc_id + i - 1) % 3 = 1 THEN ' !'
-           ELSE '' END) AS base
-  FROM ck),
-p1 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
-    THEN list_concat(base, ['please enable javascript to view this page .'])
-    ELSE base END AS l1 FROM b),
-p2 AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0
-    THEN list_concat(l1, ['lorem ipsum dolor sit amet consectetur .'])
-    ELSE l1 END AS l2 FROM p1),
-p3 AS (SELECT doc_id, CASE WHEN doc_id % 17 = 0
-    THEN list_concat(l2, ['function main ( ) { return 0 }'])
-    ELSE l2 END AS lines FROM p2),
+${c4PlantCtes("w")},
 c AS (
   SELECT doc_id, lines,
-    list_filter(lines, l ->
-      right(l, 1) IN ('.', '!', '?', '"')
-      AND len(list_filter(string_split(l, ' '),
-        x -> x <> '' AND x NOT IN ('.', '!', '?', '"'))) >= $C4LineMinWords
-      AND NOT list_contains(string_split(l, ' '), 'javascript')) AS kept,
+    ${c4KeptSql("lines")} AS kept,
     -- array_to_string([]) is NULL in DuckDB but '' in Spark: coalesce
     coalesce(array_to_string(lines, chr(10)), '') AS page_text
-  FROM p3)
+  FROM pl)
 SELECT doc_id,
   CAST(len(lines) AS BIGINT) AS n_lines,
   CAST(len(kept) AS BIGINT) AS n_kept,
@@ -419,6 +447,40 @@ SELECT doc_id,
     AND NOT contains(page_text, '{')) AS page_keep,
   coalesce(array_to_string(kept, chr(10)), '') AS clean_text
 FROM c ORDER BY doc_id"""
+  }
+
+  /** The cleanup capstone (mirrors
+    * [[graft.textops.TextAnalysis.cleanPipeline]]): unicode repair →
+    * C4 line cleanup on the repaired text → page verdict → cross-doc
+    * line dedup over surviving pages' kept lines — each stage the same
+    * fragment its standalone oracle uses.
+    */
+  val corpusClean: String = {
+    import graft.textops.TextAnalysis._
+    s"""WITH pn AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN text || ' cafe' || chr(769) || ' menu'
+         WHEN doc_id % 3 = 1 THEN text || ' nin' || chr(771) || 'o' || chr(7) || ' data'
+         ELSE text END AS planted
+  FROM documents),
+u AS (
+  SELECT doc_id,
+    nfc_normalize(regexp_replace(planted, '$ControlCharPattern', '', 'g')) AS clean
+  FROM pn),
+w AS (
+  SELECT doc_id, list_filter(string_split(clean, ' '), x -> x <> '') AS ws FROM u),
+${c4PlantCtes("w")},
+c AS (
+  SELECT doc_id,
+    ${c4KeptSql("lines")} AS kept,
+    coalesce(array_to_string(lines, chr(10)), '') AS page_text
+  FROM pl),
+pages AS (
+  SELECT doc_id, kept AS paras FROM c
+  WHERE len(kept) >= $C4PageMinLines
+    AND NOT contains(page_text, 'lorem ipsum')
+    AND NOT contains(page_text, '{')),
+${paraDedupSql("pages")}"""
   }
 
   /** Benchmark decontamination (mirrors

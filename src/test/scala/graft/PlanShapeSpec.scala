@@ -140,6 +140,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(count(phys, "InMemoryTableScan") >= 3, s"\n$phys")
   }
 
+  test("clean pipeline: keyed exchanges only, memoized kept-line table shared") {
+    val df = graft.textops.TextAnalysis.cleanPipeline(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("hashpartitioning(ph"), s"\n$phys")
+    assert(phys.contains("hashpartitioning(doc_id"), s"\n$phys")
+    assert(!phys.contains("SinglePartition"), s"\n$phys")
+    assert(count(phys, "rangepartitioning") === 1, s"\n$phys")
+    assert(count(phys, "InMemoryTableScan") >= 3, s"\n$phys")
+  }
+
   test("flagship extraction plan has no shuffle and a pruned scan") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-planshape").toString
     graft.synth.SpanSynth.docsInput(spark, sf).write.mode("overwrite")

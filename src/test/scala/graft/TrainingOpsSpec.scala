@@ -111,6 +111,7 @@ class TrainingOpsSpec extends AnyFunSuite with SparkSpec {
         chunk.mkString(" ") + (((id + i) % 3) match {
           case 0 => " ."; case 1 => " !"; case _ => "" })
       }.toArray
+      if (id % 7 == 0) lines :+= TextAnalysis.C4FooterLine
       if (id % 11 == 0) lines :+= "please enable javascript to view this page ."
       if (id % 13 == 0) lines :+= "lorem ipsum dolor sit amet consectetur ."
       if (id % 17 == 0) lines :+= "function main ( ) { return 0 }"
@@ -141,6 +142,69 @@ class TrainingOpsSpec extends AnyFunSuite with SparkSpec {
     assert(jsDocs > 0 && pageDrops > 0 && raggedDrops > 0)
     // the javascript poison line never survives into clean_text
     assert(rows.forall(!_.getAs[String]("clean_text").contains("javascript")))
+  }
+
+  test("clean pipeline composes unicode fix -> c4 rules -> line dedup") {
+    val rows = TextAnalysis.cleanPipeline(spark, sf).collect()
+    val punct = Set('.', '!', '?', '"')
+    def plantU(id: Long, t: String): String = (id % 3).toInt match {
+      case 0 => t + " café menu"
+      case 1 => t + " niño data"
+      case _ => t
+    }
+    def linesOf(id: Long, fixed: String): Array[String] = {
+      var ls = fixed.split(" ", -1).filter(_.nonEmpty)
+        .grouped(TextAnalysis.C4PlantLineWords).zipWithIndex.map { case (c, i) =>
+          c.mkString(" ") + (((id + i) % 3) match {
+            case 0 => " ."; case 1 => " !"; case _ => "" })
+        }.toArray
+      if (id % 7 == 0) ls :+= TextAnalysis.C4FooterLine
+      if (id % 11 == 0) ls :+= "please enable javascript to view this page ."
+      if (id % 13 == 0) ls :+= "lorem ipsum dolor sit amet consectetur ."
+      if (id % 17 == 0) ls :+= "function main ( ) { return 0 }"
+      ls
+    }
+    def keptOf(ls: Array[String]): Array[String] = ls.filter { l =>
+      val lw = l.split(" ", -1).filter(_.nonEmpty)
+      punct.contains(l.last) &&
+        lw.count(w => !TextAnalysis.C4PunctTokens.contains(w)) >=
+          TextAnalysis.C4LineMinWords &&
+        !lw.contains("javascript")
+    }
+    val pages = docs.map { case (id, t) =>
+      val fixed = java.text.Normalizer.normalize(
+        plantU(id, t).replaceAll(TextAnalysis.ControlCharPattern, ""),
+        java.text.Normalizer.Form.NFC)
+      val ls = linesOf(id, fixed)
+      val kept = keptOf(ls)
+      (id, ls, kept)
+    }.filter { case (_, ls, kept) =>
+      val full = ls.mkString("\n")
+      kept.length >= TextAnalysis.C4PageMinLines &&
+        !full.contains("lorem ipsum") && !full.contains("{")
+    }.map { case (id, _, kept) => id -> kept }.toMap
+    assert(rows.length === pages.size)
+    val holders = new scala.collection.mutable.HashMap[String, scala.collection.mutable.Set[Long]]
+    pages.foreach { case (id, ps) =>
+      ps.foreach(l => holders.getOrElseUpdate(l, scala.collection.mutable.Set.empty) += id)
+    }
+    var footerKept = 0L; var footerDropped = 0
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val ps = pages(id)
+      val expect = ps.filter(l => holders(l).size < 2 || holders(l).min == id)
+      assert(r.getAs[Long]("n_paras") === ps.length.toLong, s"doc $id")
+      assert(r.getAs[Long]("n_dropped") === (ps.length - expect.length).toLong, s"doc $id")
+      assert(r.getAs[String]("clean_text") === expect.mkString("\n"), s"doc $id")
+      val hadFooter = ps.contains(TextAnalysis.C4FooterLine)
+      val hasFooter = expect.contains(TextAnalysis.C4FooterLine)
+      if (hadFooter && hasFooter) footerKept += 1
+      if (hadFooter && !hasFooter) footerDropped += 1
+    }
+    // the RefinedWeb case end to end: the planted boilerplate footer
+    // survives in EXACTLY ONE page and is stripped from every other
+    assert(footerKept === 1, "footer must survive in exactly the keeper page")
+    assert(footerDropped > 0, "footer dedup never fired — fixture vacuous")
   }
 
   test("mix_plan rates and keeps match the integer temperature-sampling reference") {
