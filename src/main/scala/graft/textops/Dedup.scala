@@ -337,13 +337,8 @@ object Dedup {
     * (the explode branch and the join-back).
     */
   private[graft] def dedupParaCore(paraTable: DataFrame): DataFrame = {
-    val exploded = paraTable
-      .select(col("doc_id"), posexplode(col("paras")).as(Seq("pos", "para")))
-      .select(col("doc_id"), col("pos"), hexint60(col("para")).as("ph"))
-    val dupParas = exploded.groupBy("ph")
-      .agg(countDistinct(col("doc_id")).as("n_docs"), min("doc_id").as("keeper_doc"))
-      .where(col("n_docs") >= 2)
-    val drops = exploded.join(dupParas, Seq("ph"))
+    val exploded = explodedParas(paraTable)
+    val drops = exploded.join(dupParaKeepers(paraTable), Seq("ph"))
       .where(col("doc_id") =!= col("keeper_doc"))
       .groupBy("doc_id").agg(collect_set(col("pos")).as("drop_pos"))
     paraTable.join(drops, Seq("doc_id"), "left")
@@ -354,6 +349,24 @@ object Dedup {
           !array_contains(coalesce(col("drop_pos"), typedlit(Seq.empty[Int])), i)),
           "\n").as("clean_text"))
   }
+
+  /** The fixed-width exploded view `(doc_id, pos, ph)` of a paras table
+    * — paragraph text hashes map-side and never leaves the projection.
+    */
+  private def explodedParas(paraTable: DataFrame): DataFrame =
+    paraTable
+      .select(col("doc_id"), posexplode(col("paras")).as(Seq("pos", "para")))
+      .select(col("doc_id"), col("pos"), hexint60(col("para")).as("ph"))
+
+  /** `(ph, keeper_doc)` for paragraphs held by >= 2 docs — the dedup
+    * PLAN: [[dedupParaCore]]'s frequency stage, also produced standalone
+    * as the offline-planned static input of the streaming clean tail
+    * ([[graft.streaming.CleanStream]]).
+    */
+  private[graft] def dupParaKeepers(paraTable: DataFrame): DataFrame =
+    explodedParas(paraTable).groupBy("ph")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), min("doc_id").as("keeper_doc"))
+      .where(col("n_docs") >= 2).select("ph", "keeper_doc")
 
   /** Near-dup CLUSTERING — the step between pair detection and corpus
     * pruning: connected components over the verified MinHash+LSH pairs,

@@ -598,7 +598,15 @@ object TextAnalysis {
     * two consumers in the dedup core); stage 3 shuffles fixed-width
     * (doc_id, pos, hash) rows only. Trailing sort is oracle determinism.
     */
-  def cleanPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+  def cleanPipeline(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.dedupParaCore(cleanPages(spark, sfDir)).orderBy("doc_id")
+
+  /** The capstone's surviving-page kept-line table (stages 1-2 of
+    * [[cleanPipeline]]), memoized: the dedup core reads it twice, and
+    * the streaming planner ([[cleanPlanDupLines]]) derives from exactly
+    * this definition.
+    */
+  private[graft] def cleanPages(spark: SparkSession, sfDir: String): DataFrame = {
     val d = loadDocs(spark, sfDir)
     val cleaned = d.select(d("doc_id"),
       fixUnicodeCol(plantUnicode(d("doc_id"), d("text"))).as("clean"))
@@ -606,12 +614,19 @@ object TextAnalysis {
       cleaned.select(col("doc_id"), nonEmptyWords(col("clean")).as("ws")))
     val s2 = s1.select(col("doc_id"), c4KeptCol(col("lines")).as("paras"),
       array_join(col("lines"), "\n").as("page_text"))
-    val pages = SessionMemo(spark, s"$sfDir#clean-pages") {
+    SessionMemo(spark, s"$sfDir#clean-pages") {
       s2.where(c4PageKeepCol(col("paras"), col("page_text")))
         .select("doc_id", "paras")
     }
-    Dedup.dedupParaCore(pages).orderBy("doc_id")
   }
+
+  /** Offline planning for the streaming clean tail: the duplicate-line
+    * keeper table exactly as [[cleanPipeline]]'s dedup stage derives it
+    * — the lambda split of the repair capstone (re-run on whatever
+    * cadence new boilerplate should be caught at).
+    */
+  def cleanPlanDupLines(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.dupParaKeepers(cleanPages(spark, sfDir))
 
   /** Document fingerprint: minimum keyed hash over the rolling window of
     * word 5-grams (winnowing-style min-fingerprint); short docs fall back
