@@ -83,6 +83,11 @@ object SparkEntry {
     "corpus_clean" -> ((s, dir) => graft.textops.TextAnalysis.cleanPipeline(s, dir)),
     // benchmark decontamination: 5-gram overlap vs the benchmark subset
     "corpus_decontam" -> ((s, dir) => graft.textops.Decontam.decontaminate(s, dir)),
+    // CCNet-style bigram-LM scoring + per-lang perplexity tertiles
+    "text_lm_score" -> ((s, dir) => graft.textops.LmScore.score(s, dir)),
+    "corpus_ppl_buckets" -> ((s, dir) => graft.textops.LmScore.buckets(s, dir)),
+    // DSIR hashed-ngram importance resampling
+    "corpus_dsir" -> ((s, dir) => graft.textops.Dsir.select(s, dir)),
     // corpus construction: deterministic training-mix sampling + packing
     "corpus_sample" -> ((s, dir) => graft.textops.Corpus.sampleStratified(s, dir)),
     // domain-mix planning: sqrt-temperature source weights -> keep rates
@@ -154,6 +159,9 @@ SELECT doc_id, kind, text, media_ref, "offset" FROM synth ORDER BY doc_id, "offs
     "text_fix_unicode" -> graft.verify.TextOracles.fixUnicode,
     "corpus_clean" -> graft.verify.TextOracles.corpusClean,
     "corpus_decontam" -> graft.verify.TextOracles.decontaminate,
+    "text_lm_score" -> graft.verify.TextOracles.lmScore,
+    "corpus_ppl_buckets" -> graft.verify.TextOracles.pplBuckets,
+    "corpus_dsir" -> graft.verify.TextOracles.dsir,
     "text_repetition" -> graft.verify.TextOracles.repetition,
     "text_gopher" -> graft.verify.TextOracles.gopherRules,
     "text_quality_clf" -> graft.verify.TextOracles.qualityClassifier,

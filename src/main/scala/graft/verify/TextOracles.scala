@@ -1188,4 +1188,118 @@ ORDER BY doc_id, "offset""""
 FROM (${ExtractOracle.sql(None)})
 WHERE kind = 'image'
 ORDER BY doc_id, "offset""""
+
+  // ---- CCNet-style bigram-LM scoring (graft.textops.LmScore) ----
+
+  /** Shared CTE chain: words → exploded bigram hashes → counts → per-doc
+    * score. Mirrors [[graft.textops.LmScore.scoreTable]] exactly: per-term
+    * nll micro-quantized to BIGINT before the (order-independent) sum.
+    */
+  private def lmScoreCtes: String = {
+    import graft.textops.LmScore._
+    s"""w AS (
+  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents
+), g0 AS (
+  SELECT doc_id, unnest(list_transform(range(greatest(len(ws)-1, 0)),
+    i -> struct_pack(p := ws[i+1], n := ws[i+2]))) AS pr FROM w
+), g AS (
+  SELECT doc_id, ${h60("pr.p || ' ' || pr.n")} AS bg_h, ${h60("pr.p")} AS u_h FROM g0
+), bc AS (SELECT bg_h, count(*) AS c12 FROM g GROUP BY 1),
+uc AS (SELECT u_h, count(*) AS c1 FROM g GROUP BY 1),
+v AS (SELECT count(DISTINCT ${h60("x")}) AS vv
+      FROM (SELECT unnest(ws) AS x FROM w)),
+t AS (
+  SELECT g.doc_id, CAST(round(1000000.0 *
+    ln(CAST(c1 + vv AS DOUBLE) / CAST(c12 + $Smoothing AS DOUBLE)), 0) AS BIGINT) AS nll_micro
+  FROM g JOIN bc USING (bg_h) JOIN uc USING (u_h) CROSS JOIN v
+), d AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         CAST(sum(nll_micro) AS BIGINT) AS nll_micro_sum FROM t GROUP BY 1
+), sc AS (
+  SELECT w.doc_id, w.lang, len(ws) AS n_words,
+    COALESCE(n_bigrams, 0) AS n_bigrams, nll_micro_sum,
+    CASE WHEN n_bigrams IS NULL THEN NULL
+         ELSE CAST(round(CAST(nll_micro_sum AS DOUBLE) / n_bigrams, 0) AS BIGINT)
+    END AS avg_nll_micro
+  FROM w LEFT JOIN d USING (doc_id))"""
+  }
+
+  /** Mirrors [[graft.textops.LmScore.score]]. */
+  val lmScore: String = {
+    import graft.textops.LmScore._
+    s"""WITH $lmScoreCtes
+SELECT doc_id, lang, n_words, n_bigrams, nll_micro_sum, avg_nll_micro,
+  COALESCE(avg_nll_micro <= $LmNllMaxMicro, false) AS keep
+FROM sc ORDER BY doc_id"""
+  }
+
+  /** Mirrors [[graft.textops.LmScore.buckets]]: histogram-derived CCNet
+    * head/middle/tail tertiles per language.
+    */
+  val pplBuckets: String = {
+    import graft.textops.LmScore._
+    s"""WITH $lmScoreCtes,
+binned AS (
+  SELECT doc_id, lang, avg_nll_micro, avg_nll_micro // $BinMicro AS bin
+  FROM sc WHERE avg_nll_micro IS NOT NULL
+), hist AS (
+  SELECT lang, bin, count(*) AS cnt FROM binned GROUP BY 1, 2
+), cum AS (
+  SELECT lang, bin, sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY lang) AS total FROM hist
+), cuts AS (
+  SELECT lang, min(CASE WHEN cum * 3 >= total THEN bin END) AS head_cut,
+         min(CASE WHEN cum * 3 >= total * 2 THEN bin END) AS mid_cut
+  FROM cum GROUP BY 1
+), b AS (
+  SELECT sc.doc_id, sc.lang, sc.avg_nll_micro,
+    sc.avg_nll_micro // $BinMicro AS bin,
+    CASE WHEN sc.avg_nll_micro IS NULL THEN 'tail'
+         WHEN sc.avg_nll_micro // $BinMicro <= head_cut THEN 'head'
+         WHEN sc.avg_nll_micro // $BinMicro <= mid_cut THEN 'middle'
+         ELSE 'tail' END AS bucket
+  FROM sc LEFT JOIN cuts USING (lang))
+SELECT doc_id, lang, avg_nll_micro, bin, bucket, bucket <> 'tail' AS keep
+FROM b ORDER BY doc_id"""
+  }
+
+  /** DSIR importance resampling (mirrors [[graft.textops.Dsir.select]]). */
+  val dsir: String = {
+    import graft.textops.Dsir._
+    s"""WITH w AS (
+  SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents
+), f0 AS (
+  SELECT doc_id, lang, unnest(list_concat(ws,
+    list_transform(range(greatest(len(ws)-1, 0)), i -> ws[i+1] || ' ' || ws[i+2]))) AS gram
+  FROM w
+), f AS (
+  SELECT doc_id, lang, ${h32("gram")} % $Buckets AS b FROM f0
+), rawc AS (SELECT b, count(*) AS c_raw FROM f GROUP BY 1),
+tgtc AS (SELECT b, count(*) AS c_tgt FROM f WHERE lang = '$TargetLang' GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM f) AS t_raw,
+               (SELECT count(*) FROM f WHERE lang = '$TargetLang') AS t_tgt),
+lam AS (
+  SELECT b, CAST(round(1000000.0 * (
+      ln(CAST(COALESCE(c_tgt, 0) + 1 AS DOUBLE) / CAST(t_tgt + $Buckets AS DOUBLE))
+    - ln(CAST(COALESCE(c_raw, 0) + 1 AS DOUBLE) / CAST(t_raw + $Buckets AS DOUBLE))), 0) AS BIGINT) AS lam_micro
+  FROM (SELECT unnest(range($Buckets)) AS b) bs
+  LEFT JOIN rawc USING (b) LEFT JOIN tgtc USING (b) CROSS JOIN tot
+), d AS (
+  SELECT f.doc_id, count(*) AS n_grams,
+         CAST(sum(lam_micro) AS BIGINT) AS w_micro_sum
+  FROM f JOIN lam USING (b) GROUP BY 1
+), sc AS (
+  SELECT w.doc_id, w.lang, COALESCE(n_grams, 0) AS n_grams, w_micro_sum,
+    CASE WHEN n_grams IS NULL THEN NULL
+         ELSE CAST(round(CAST(w_micro_sum AS DOUBLE) / n_grams, 0) AS BIGINT)
+    END AS avg_w_micro,
+    CAST(round(-1000000.0 * ln(-ln(
+      (CAST(${h32(s"'dsir:' || CAST(w.doc_id AS VARCHAR)")} % 1000000 AS DOUBLE) + 0.5)
+      / 1000000.0)), 0) AS BIGINT) AS gumbel_micro
+  FROM w LEFT JOIN d USING (doc_id))
+SELECT doc_id, lang, n_grams, w_micro_sum, avg_w_micro, gumbel_micro,
+  avg_w_micro + gumbel_micro AS score_micro,
+  COALESCE(avg_w_micro + gumbel_micro >= $ThresholdMicro, false) AS keep
+FROM sc ORDER BY doc_id"""
+  }
 }

@@ -150,6 +150,55 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(count(phys, "InMemoryTableScan") >= 3, s"\n$phys")
   }
 
+  test("lm score: hash-keyed exchanges only, one bounded scalar agg, no text in shuffles") {
+    val df = graft.textops.LmScore.scoreCore(spark, sf,
+      graft.textops.LmScore.gramCore(spark, sf))
+    val phys = df.queryExecution.executedPlan.toString
+    // count aggregates shuffle on the 60-bit gram hashes, never on text
+    assert(count(phys, "hashpartitioning(bg_h") >= 1, s"\n$phys")
+    assert(count(phys, "hashpartitioning(u_h") >= 1, s"\n$phys")
+    assert(count(phys, "hashpartitioning(doc_id") >= 1, s"\n$phys")
+    // exactly one SinglePartition: the broadcast 1-row vocabulary agg
+    assert(count(phys, "SinglePartition") <= 1, s"\n$phys")
+    assert(!phys.contains("rangepartitioning"), s"\n$phys")
+    // document text must not ride any exchange: every shuffle output is
+    // hashes/counts (the only text-bearing node is the scan projection)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    df.queryExecution.executedPlan.foreach {
+      case e: ShuffleExchangeExec =>
+        assert(!e.output.exists(a => a.name == "text" || a.name == "pr"),
+          s"text in shuffle: ${e.output}")
+      case _ =>
+    }
+  }
+
+  test("ppl buckets: histogram cutoffs, lang-keyed window on the tiny hist only") {
+    val df = graft.textops.LmScore.bucketsFrom(
+      graft.textops.LmScore.scoreCore(spark, sf,
+        graft.textops.LmScore.gramCore(spark, sf)))
+    val phys = df.queryExecution.executedPlan.toString
+    // the tertile window runs per-language over the AGGREGATED histogram
+    assert(count(phys, "hashpartitioning(lang") >= 1, s"\n$phys")
+    // the bounded 1-row vocab agg is the only SinglePartition source; the
+    // un-memoized fixture embeds the score subplan twice (histogram path +
+    // join-back), so it may appear at most twice — the driver path memoizes
+    // scoreTable, and the lm-score test above pins the single-copy shape.
+    // Doc-level data is never globally sorted except by the output orderBy.
+    assert(count(phys, "SinglePartition") <= 2, s"\n$phys")
+    assert(count(phys, "rangepartitioning") <= 1, s"\n$phys")
+  }
+
+  test("dsir: bucket-keyed aggregates, broadcast lambda table, one scalar agg") {
+    val df = graft.textops.Dsir.selectFrom(spark, sf,
+      graft.textops.Dsir.featureCore(spark, sf))
+    val phys = df.queryExecution.executedPlan.toString
+    assert(count(phys, "hashpartitioning(b#") >= 1, s"\n$phys")
+    assert(count(phys, "hashpartitioning(doc_id") >= 1, s"\n$phys")
+    // the 64-row lambda table joins back as a BROADCAST, never a shuffle
+    assert(phys.contains("BroadcastHashJoin"), s"\n$phys")
+    assert(count(phys, "SinglePartition") <= 1, s"\n$phys")
+  }
+
   test("flagship extraction plan has no shuffle and a pruned scan") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-planshape").toString
     graft.synth.SpanSynth.docsInput(spark, sf).write.mode("overwrite")
