@@ -83,6 +83,12 @@ object SparkEntry {
     "corpus_clean" -> ((s, dir) => graft.textops.TextAnalysis.cleanPipeline(s, dir)),
     // benchmark decontamination: 5-gram overlap vs the benchmark subset
     "corpus_decontam" -> ((s, dir) => graft.textops.Decontam.decontaminate(s, dir)),
+    // asymmetric containment dedup (quote-inclusion / aggregator pages)
+    "dedup_containment" -> ((s, dir) => graft.textops.Dedup.containment(s, dir)),
+    // delta-vs-base incremental exact dedup (the daily-crawl shape)
+    "dedup_incremental" -> ((s, dir) => graft.textops.Dedup.incremental(s, dir)),
+    // corpus card: CUBE roll-up of doc/token/char totals
+    "corpus_stats" -> ((s, dir) => graft.textops.Corpus.stats(s, dir)),
     // CCNet-style bigram-LM scoring + per-lang perplexity tertiles
     "text_lm_score" -> ((s, dir) => graft.textops.LmScore.score(s, dir)),
     "corpus_ppl_buckets" -> ((s, dir) => graft.textops.LmScore.buckets(s, dir)),
@@ -159,6 +165,9 @@ SELECT doc_id, kind, text, media_ref, "offset" FROM synth ORDER BY doc_id, "offs
     "text_fix_unicode" -> graft.verify.TextOracles.fixUnicode,
     "corpus_clean" -> graft.verify.TextOracles.corpusClean,
     "corpus_decontam" -> graft.verify.TextOracles.decontaminate,
+    "dedup_containment" -> graft.verify.TextOracles.containment,
+    "dedup_incremental" -> graft.verify.TextOracles.incremental,
+    "corpus_stats" -> graft.verify.TextOracles.corpusStats,
     "text_lm_score" -> graft.verify.TextOracles.lmScore,
     "corpus_ppl_buckets" -> graft.verify.TextOracles.pplBuckets,
     "corpus_dsir" -> graft.verify.TextOracles.dsir,

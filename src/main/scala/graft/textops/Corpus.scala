@@ -437,4 +437,39 @@ object Corpus {
       .join(contaminated, Seq("doc_id"), "left_anti")
       .select("doc_id", "source", "n_tokens", "lang_guess", "mix_h")
   }
+
+  /** Sentinel printed for the rolled-up level of a CUBE dimension (keeps
+    * the output null-free, so Spark/DuckDB null-ordering differences
+    * cannot bite the row-order compare).
+    */
+  val StatsAll = "<all>"
+
+  /** Driver query `corpus_stats` — the corpus card: doc / token / char
+    * totals by (lang × source) with CUBE roll-ups (per-lang, per-source,
+    * grand total), each level tagged by an explicit grouping id. This is
+    * the summary table every dataset release publishes, and on 100 TB it
+    * is ONE pass: CUBE expands each row into its 4 grouping-set keys
+    * BEFORE the exchange, partial HashAggregates combine map-side, and
+    * the shuffled rows are (key, counts) only — cardinality is bounded
+    * by |langs|·|sources|, not by the corpus. Sums are integer (token /
+    * char counts), so aggregation order cannot perturb the values.
+    */
+  def stats(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = TextAnalysis.loadDocs(spark, sfDir)
+    d.select(col("lang"), col("source"),
+        size(TextAnalysis.nonEmptyWords(col("text"))).cast("long").as("n_tokens"),
+        col("n_chars"))
+      .cube("lang", "source")
+      .agg(
+        (grouping(col("lang")) * 2 + grouping(col("source")))
+          .cast("long").as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("tokens"),
+        sum("n_chars").as("chars"))
+      .select(col("gid"),
+        coalesce(col("lang"), lit(StatsAll)).as("lang"),
+        coalesce(col("source"), lit(StatsAll)).as("source"),
+        col("n_docs"), col("tokens"), col("chars"))
+      .orderBy("gid", "lang", "source")
+  }
 }

@@ -468,4 +468,113 @@ object Dedup {
       case e: Throwable => labels.unpersist(); throw e
     } finally edges.unpersist()
   }
+
+  /** Containment threshold: a doc whose rare grams are ≥ this fraction
+    * covered by another doc is "contained" in it.
+    */
+  val ContainmentThreshold = 0.8
+
+  /** Grams held by more documents than this are boilerplate: excluded
+    * from containment entirely (numerator AND denominator). This is ALSO
+    * the scale bound of the pair join — each surviving gram contributes
+    * at most cap·(cap−1) ordered pair rows, so the candidate table grows
+    * linearly with the corpus, never quadratically.
+    */
+  val ContainmentGramDfMax = 20L
+
+  /** Minimum rare grams for a doc to be judged contained (below this the
+    * ratio is noise).
+    */
+  val ContainmentMinGrams = 3L
+
+  /** Asymmetric containment detection: ordered pairs (contained,
+    * container) where the contained doc's rare distinct 5-grams are
+    * ≥ [[ContainmentThreshold]] covered by the container's. This is the
+    * dedup case symmetric Jaccard MISSES: a short article quoted whole
+    * inside a long aggregator page has tiny Jaccard (union is dominated
+    * by the container) but containment ≈ 1. Gram unit and doc-gram table
+    * are shared with [[dupPassages]] / decontamination (one memoized
+    * kernel pass).
+    *
+    * Scale shape: rare-gram doc frequency is ONE partial aggregate on
+    * the 60-bit gram key; the pair join is a keyed equi-join on the same
+    * key bounded by [[ContainmentGramDfMax]] (see there) — only
+    * fixed-width ids ride it; intersection sizes come from a partial
+    * aggregate on the id pair; the single broadcast-sized denominator
+    * join closes the ratio. No text, no all-pairs product anywhere.
+    */
+  def containment(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = memoized(spark, s"$sfDir#dup-passage-grams") {
+      val d = TextAnalysis.loadDocs(spark, sfDir)
+      d.select(d("doc_id"),
+        array_distinct(TextAnalysis.gramHashes60(d("text"))).as("grams"))
+    }
+    val docGrams = grams.select(col("doc_id"), explode(col("grams")).as("g"))
+    // rare = (doc_id, g) occurrences of grams with doc-frequency <= cap;
+    // df=1 grams stay (they count in the denominator: unique content the
+    // container does NOT cover) but produce no cross pairs
+    val rare = memoized(spark, s"$sfDir#containment-rare") {
+      val rareGram = docGrams.groupBy("g").agg(count(lit(1)).as("n_docs"))
+        .where(col("n_docs") <= ContainmentGramDfMax).select("g")
+      docGrams.join(rareGram, Seq("g"))
+    }
+    val nRare = rare.groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
+    val a = rare.select(col("doc_id").as("id_contained"), col("g"))
+    val b = rare.select(col("doc_id").as("id_container"), col("g"))
+    val inter = a.join(b, Seq("g"))
+      .where(col("id_contained") =!= col("id_container"))
+      .groupBy("id_contained", "id_container")
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(nRare.select(col("doc_id").as("id_contained"),
+        col("n_rare")), Seq("id_contained"))
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / col("n_rare").cast("double"), 6))
+      .where(col("containment") >= ContainmentThreshold &&
+        col("n_rare") >= ContainmentMinGrams)
+      .select("id_contained", "id_container", "n_rare", "n_shared", "containment")
+      .orderBy("id_contained", "id_container")
+  }
+
+  /** Fraction (percent) of docs in the standing base corpus for
+    * [[incremental]]; the rest arrive as the new delta batch.
+    */
+  val IncrementalBasePct = 80L
+
+  /** Incremental exact dedup — the production daily-crawl shape: a new
+    * DELTA batch is deduplicated against the standing BASE corpus's
+    * signature set AND within itself (min-doc_id keeper, the rule shared
+    * with [[exact]]). Here base membership is a deterministic hash split
+    * of the one documents table so the DuckDB oracle can replay it; a
+    * deployment reads the signature set from the store written by the
+    * previous run (dataflow identical — one keyed join against a
+    * persisted hash table that is ~16 bytes/doc, no text).
+    *
+    * Scale shape: the base side reduces to DISTINCT 60-bit hashes (one
+    * partial aggregate); the delta joins it on the hash (keyed equi-join
+    * — broadcastable while the daily delta ≪ base signature table is
+    * false, i.e. never; but the join carries only hashes); in-delta
+    * keepers are one more partial aggregate on the same key. Text never
+    * shuffles.
+    */
+  def incremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = TextAnalysis.loadDocs(spark, sfDir)
+    val tagged = d.select(d("doc_id"), hexint60(d("text")).as("text_hash"),
+      (PortableHash.hexint32(concat(lit("incr:"), d("doc_id").cast("string")))
+        % 100L < IncrementalBasePct).as("in_base"))
+    val baseSigs = tagged.where(col("in_base"))
+      .select("text_hash").distinct()
+      .withColumn("dup_of_base", lit(true))
+    val delta = tagged.where(!col("in_base")).drop("in_base")
+    val deltaKeeper = delta.groupBy("text_hash")
+      .agg(min("doc_id").as("first_delta"))
+    delta
+      .join(baseSigs, Seq("text_hash"), "left")
+      .join(deltaKeeper, Seq("text_hash"))
+      .select(col("doc_id"), col("text_hash"),
+        coalesce(col("dup_of_base"), lit(false)).as("dup_of_base"),
+        (col("doc_id") =!= col("first_delta")).as("dup_in_delta"))
+      .withColumn("keep", !col("dup_of_base") && !col("dup_in_delta"))
+      .orderBy("doc_id")
+  }
 }

@@ -1302,4 +1302,82 @@ SELECT doc_id, lang, n_grams, w_micro_sum, avg_w_micro, gumbel_micro,
   COALESCE(avg_w_micro + gumbel_micro >= $ThresholdMicro, false) AS keep
 FROM sc ORDER BY doc_id"""
   }
+
+  /** Asymmetric containment pairs (mirrors
+    * [[graft.textops.Dedup.containment]]): rare-gram coverage of the
+    * contained doc by the container. Gram CTE identical to
+    * [[dupPassages]].
+    */
+  val containment: String = {
+    import graft.textops.Dedup._
+    s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(ws) >= 5 THEN
+      list_transform(range(len(ws) - 4),
+        i -> ${h60("array_to_string(ws[i+1:i+5], ' ')")})
+    ELSE [${h60("text")}] END) AS grams
+  FROM w),
+dg AS (SELECT doc_id, u.gg AS g FROM g, UNNEST(grams) u(gg)),
+rare AS (
+  SELECT dg.doc_id, dg.g FROM dg
+  JOIN (SELECT g FROM dg GROUP BY g HAVING count(*) <= $ContainmentGramDfMax) f USING (g)),
+nr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rare FROM rare GROUP BY 1),
+p AS (
+  SELECT a.doc_id AS id_contained, b.doc_id AS id_container,
+    CAST(count(*) AS BIGINT) AS n_shared
+  FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2),
+r AS (
+  SELECT id_contained, id_container, n_rare, n_shared,
+    round(CAST(n_shared AS DOUBLE) / CAST(n_rare AS DOUBLE), 6) AS containment
+  FROM p JOIN nr ON nr.doc_id = p.id_contained)
+SELECT id_contained, id_container, n_rare, n_shared, containment
+FROM r
+WHERE containment >= $ContainmentThreshold AND n_rare >= $ContainmentMinGrams
+ORDER BY id_contained, id_container"""
+  }
+
+  /** Incremental delta-vs-base dedup (mirrors
+    * [[graft.textops.Dedup.incremental]]).
+    */
+  val incremental: String = {
+    import graft.textops.Dedup._
+    s"""WITH t AS (
+  SELECT doc_id, ${h60("text")} AS text_hash,
+    ${h32("'incr:' || CAST(doc_id AS VARCHAR)")} % 100 < $IncrementalBasePct AS in_base
+  FROM documents),
+base AS (SELECT DISTINCT text_hash FROM t WHERE in_base),
+delta AS (SELECT doc_id, text_hash FROM t WHERE NOT in_base),
+k AS (SELECT text_hash, min(doc_id) AS first_delta FROM delta GROUP BY 1)
+SELECT d.doc_id, d.text_hash,
+  b.text_hash IS NOT NULL AS dup_of_base,
+  d.doc_id <> k.first_delta AS dup_in_delta,
+  b.text_hash IS NULL AND d.doc_id = k.first_delta AS keep
+FROM delta d
+LEFT JOIN base b ON d.text_hash = b.text_hash
+JOIN k ON d.text_hash = k.text_hash
+ORDER BY d.doc_id"""
+  }
+
+  /** Corpus card (mirrors [[graft.textops.Corpus.stats]]): CUBE over
+    * (lang, source) with explicit grouping id and null-free roll-up
+    * sentinels.
+    */
+  val corpusStats: String = {
+    import graft.textops.Corpus
+    s"""WITH t AS (
+  SELECT lang, source,
+    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+    n_chars
+  FROM documents)
+SELECT CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid,
+  COALESCE(lang, '${Corpus.StatsAll}') AS lang,
+  COALESCE(source, '${Corpus.StatsAll}') AS source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+  CAST(sum(n_chars) AS BIGINT) AS chars
+FROM t GROUP BY CUBE (lang, source)
+ORDER BY gid, lang, source"""
+  }
 }

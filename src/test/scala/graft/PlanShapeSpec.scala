@@ -188,6 +188,53 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(count(phys, "rangepartitioning") <= 1, s"\n$phys")
   }
 
+  test("containment: gram-keyed pair join, id-keyed roll-up, no text in shuffles") {
+    val df = graft.textops.Dedup.containment(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    // doc frequency + the pair join are keyed on the 60-bit gram hash;
+    // intersection sizes roll up on the id pair
+    assert(count(phys, "hashpartitioning(g#") >= 1, s"\n$phys")
+    assert(count(phys, "hashpartitioning(id_contained") >= 1, s"\n$phys")
+    assert(count(phys, "SinglePartition") === 0, s"\n$phys")
+    // only the output orderBy sorts globally; no cartesian anywhere
+    assert(count(phys, "rangepartitioning") <= 1, s"\n$phys")
+    assert(!phys.contains("CartesianProduct"), s"\n$phys")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    df.queryExecution.executedPlan.foreach {
+      case e: ShuffleExchangeExec =>
+        assert(!e.output.exists(_.name == "text"), s"text in shuffle: ${e.output}")
+      case _ =>
+    }
+  }
+
+  test("incremental dedup: hash-keyed signature join, no window, no text in shuffles") {
+    val df = graft.textops.Dedup.incremental(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(count(phys, "hashpartitioning(text_hash") >= 1, s"\n$phys")
+    assert(count(phys, "SinglePartition") === 0, s"\n$phys")
+    assert(!phys.contains("Window"), s"\n$phys")
+    assert(count(phys, "rangepartitioning") <= 1, s"\n$phys")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    df.queryExecution.executedPlan.foreach {
+      case e: ShuffleExchangeExec =>
+        assert(!e.output.exists(_.name == "text"), s"text in shuffle: ${e.output}")
+      case _ =>
+    }
+  }
+
+  test("corpus stats: one scan, Expand before partial aggregate, keyed exchange") {
+    val df = graft.textops.Corpus.stats(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    // CUBE = Expand (4 grouping sets) feeding a PARTIAL HashAggregate
+    // below the exchange — map-side combine bounds the shuffle by
+    // |langs|*|sources|, not the corpus
+    assert(phys.contains("Expand"), s"\n$phys")
+    assert(count(phys, "partial_count") >= 1, s"\n$phys")
+    assert(count(phys, "hashpartitioning(lang") >= 1, s"\n$phys")
+    assert(count(phys, "SinglePartition") === 0, s"\n$phys")
+    assert(count(phys, "FileScan") === 1, s"\n$phys")
+  }
+
   test("dsir: bucket-keyed aggregates, broadcast lambda table, one scalar agg") {
     val df = graft.textops.Dsir.selectFrom(spark, sf,
       graft.textops.Dsir.featureCore(spark, sf))
