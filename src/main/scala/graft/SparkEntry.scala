@@ -83,6 +83,8 @@ object SparkEntry {
     "corpus_clean" -> ((s, dir) => graft.textops.TextAnalysis.cleanPipeline(s, dir)),
     // benchmark decontamination: 5-gram overlap vs the benchmark subset
     "corpus_decontam" -> ((s, dir) => graft.textops.Decontam.decontaminate(s, dir)),
+    // SemDeDup: k-means-clustered embedding dedup, centroid-distance keeper
+    "dedup_semantic" -> ((s, dir) => graft.textops.Ivf.semDedup(s, dir)),
     // asymmetric containment dedup (quote-inclusion / aggregator pages)
     "dedup_containment" -> ((s, dir) => graft.textops.Dedup.containment(s, dir)),
     // delta-vs-base incremental exact dedup (the daily-crawl shape)
@@ -165,6 +167,7 @@ SELECT doc_id, kind, text, media_ref, "offset" FROM synth ORDER BY doc_id, "offs
     "text_fix_unicode" -> graft.verify.TextOracles.fixUnicode,
     "corpus_clean" -> graft.verify.TextOracles.corpusClean,
     "corpus_decontam" -> graft.verify.TextOracles.decontaminate,
+    "dedup_semantic" -> graft.verify.TextOracles.semDedup,
     "dedup_containment" -> graft.verify.TextOracles.containment,
     "dedup_incremental" -> graft.verify.TextOracles.incremental,
     "corpus_stats" -> graft.verify.TextOracles.corpusStats,

@@ -193,6 +193,65 @@ object Ivf {
       .orderBy(desc("sim"), col("vec_id"))
       .limit(TopK)
   }
+
+  /** SemDeDup pair-cosine threshold (on the 6-decimal rounded value).
+    * Shared with the LSH near-dup verify: the planted duplicates sit at
+    * ~0.999, the corpus's natural max pairwise cosine at ~0.51.
+    */
+  val SemDedupCosine = Similarity.NearDupCosine
+
+  /** SemDeDup (Abbas et al. 2023): semantic dedup by k-means clustering
+    * of embeddings + within-cluster pairwise cosine — the third dedup
+    * modality next to lexical (n-gram / MinHash) and LSH-bucketed
+    * embedding near-dup. A vector is dropped when some same-cluster
+    * vector is near-identical (cosine ≥ [[SemDedupCosine]]) AND wins the
+    * paper's keeper rule: keep the example FARTHEST from the cluster
+    * centroid (larger centroid distance, vec_id tiebreak) — the copy
+    * nearest the centroid is the prototypical redundancy. (The paper
+    * applies the rule greedily along the centroid-distance ordering; the
+    * pairwise "∃ a winning near-identical neighbor" form here is
+    * deterministic, one-pass, and agrees on near-dup PAIRS — chains can
+    * only drop MORE, never a whole group: the group's farthest member
+    * has no winner, so at least one copy always survives.)
+    *
+    * Scale shape: clustering IS the trained-IVF assignment (native
+    * kernel, no join, codebook rides as a literal); the pair join is a
+    * keyed equi-join on the cluster id, quadratic ONLY within a cluster
+    * — exactly the paper's cost model, with cluster count growing
+    * ~sqrt(N) at deployment so cluster size (and the per-key join cost)
+    * stays bounded; the assignment table is memoized and the dropped
+    * set dedupes to ids BEFORE the verdict join-back. The DuckDB oracle
+    * replays the whole chain including codebook training.
+    */
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val cb = trainedCentroids(spark, sfDir)
+    val cbLit = typedLit(cb.map(_.toSeq))
+    val nv = SessionMemo(spark, s"$sfDir#semdedup-assign") {
+      Similarity.plantedCorpus(spark, sfDir)
+        .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+        .withColumn("cid", ivfAssign(col("e"), cb))
+        .withColumn("cdist",
+          aggregate(zip_with(col("e"), element_at(cbLit, col("cid") + 1),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+    }
+    val x = nv.select(col("cid"), col("vec_id").as("id_x"), col("e").as("ex"),
+      col("nrm").as("nx"), col("cdist").as("dx"))
+    val y = nv.select(col("cid"), col("vec_id").as("id_y"), col("e").as("ey"),
+      col("nrm").as("ny"), col("cdist").as("dy"))
+    val dropped = x.join(y, Seq("cid"))
+      .where(col("id_x") =!= col("id_y"))
+      // y wins the keeper rule over x: farther from the centroid, id tiebreak
+      .where(col("dy") > col("dx") ||
+        (col("dy") === col("dx") && col("id_y") < col("id_x")))
+      .where(round(dot(col("ex"), col("ey")) / (col("nx") * col("ny")), 6)
+        >= SemDedupCosine)
+      .select(col("id_x").as("vec_id")).distinct()
+    nv.join(dropped.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").as("cluster_id"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+      .withColumn("keep", !col("is_dup"))
+      .orderBy("vec_id")
+  }
 }
 
 /** Catalyst expression wrapping the nearest-centroid assignment against a

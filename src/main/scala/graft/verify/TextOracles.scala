@@ -886,14 +886,17 @@ ORDER BY sim DESC, n.vec_id LIMIT ${Similarity.TopK}"""
     * the TRAINED codebook, probe the query's NProbe nearest lists, and
     * exact-cosine rank the survivors.
     */
-  val ivfTopK: String = {
+  /** The k-means training chain (seed codebook → deterministic sample →
+    * assign → quantized means → `trained(cid, vec)`), shared by
+    * [[ivfTopK]] and [[semDedup]]. Expects an `e(vec_id, v, ...)` CTE in
+    * scope.
+    */
+  private def ivfTrainedCte: String = {
     import graft.textops.Ivf
     val C = Ivf.NumLists
     val D = graft.textops.Similarity.Dim
     val Q = Ivf.QuantScale
-    s"""WITH $embCte,
-cb AS (SELECT ${Ivf.duckCentroids} AS cs),
-nv AS (SELECT vec_id, label, v, ${duckNorm("v")} AS nrm FROM e),
+    s"""cb AS (SELECT ${Ivf.duckCentroids} AS cs),
 samp AS (
   SELECT vec_id, v FROM e
   WHERE ${h32("'ivfs-' || CAST(vec_id AS VARCHAR)")} % 1000 < ${Ivf.TrainSampleThreshold}),
@@ -918,7 +921,15 @@ tvec AS (
 allc AS (SELECT CAST(u.c AS INT) AS cid FROM UNNEST(range($C)) u(c)),
 trained AS (
   SELECT a.cid, COALESCE(t.vec, cs[a.cid + 1]) AS vec
-  FROM allc a CROSS JOIN cb LEFT JOIN tvec t ON t.cid = a.cid),
+  FROM allc a CROSS JOIN cb LEFT JOIN tvec t ON t.cid = a.cid)"""
+  }
+
+  val ivfTopK: String = {
+    import graft.textops.Ivf
+    val D = graft.textops.Similarity.Dim
+    s"""WITH $embCte,
+nv AS (SELECT vec_id, label, v, ${duckNorm("v")} AS nrm FROM e),
+$ivfTrainedCte,
 dist AS (
   SELECT e.vec_id, t.cid,
     list_sum(list_transform(range($D), i ->
@@ -1379,5 +1390,40 @@ SELECT CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid,
   CAST(sum(n_chars) AS BIGINT) AS chars
 FROM t GROUP BY CUBE (lang, source)
 ORDER BY gid, lang, source"""
+  }
+
+  /** SemDeDup (mirrors [[graft.textops.Ivf.semDedup]]): trained-IVF
+    * cluster assignment of the planted corpus, within-cluster pairwise
+    * cosine, drop when a near-identical neighbor is farther from the
+    * centroid (id tiebreak).
+    */
+  val semDedup: String = {
+    import graft.textops.Ivf
+    val D = graft.textops.Similarity.Dim
+    s"""WITH $embCte,
+$ivfTrainedCte,
+$plantedCorpusCte,
+nv AS (SELECT vec_id, v, ${duckNorm("v")} AS nrm FROM corpus),
+cdist AS (
+  SELECT c.vec_id, t.cid,
+    list_sum(list_transform(range($D), i ->
+      (c.v[i+1] - t.vec[i+1]) * (c.v[i+1] - t.vec[i+1]))) AS d
+  FROM corpus c, trained t),
+assign AS (
+  SELECT vec_id, cid, d FROM (
+    SELECT vec_id, cid, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM cdist)
+  WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT x.vec_id
+  FROM assign x JOIN assign y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+  JOIN nv nx ON nx.vec_id = x.vec_id
+  JOIN nv ny ON ny.vec_id = y.vec_id
+  WHERE (y.d > x.d OR (y.d = x.d AND y.vec_id < x.vec_id))
+    AND round(${duckDot("nx.v", "ny.v")} / (nx.nrm * ny.nrm), 6) >= ${Ivf.SemDedupCosine})
+SELECT a.vec_id, a.cid AS cluster_id,
+  d.vec_id IS NOT NULL AS is_dup, d.vec_id IS NULL AS keep
+FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+ORDER BY a.vec_id"""
   }
 }

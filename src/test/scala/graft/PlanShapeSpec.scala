@@ -222,6 +222,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("semdedup: memoized assign table, keyed pair join, no cartesian") {
+    val df = graft.textops.Ivf.semDedup(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    // the assignment table (kernel assign + centroid distance) is built
+    // once and shared by both pair sides and the verdict join-back
+    assert(count(phys, "InMemoryTableScan") >= 3, s"\n$phys")
+    // pair generation is an equi-join on the cluster id — never a product
+    assert(!phys.contains("CartesianProduct"), s"\n$phys")
+    assert(!phys.contains("BroadcastNestedLoopJoin"), s"\n$phys")
+    assert(count(phys, "SinglePartition") === 0, s"\n$phys")
+    assert(count(phys, "rangepartitioning") <= 1, s"\n$phys")
+  }
+
   test("corpus stats: one scan, Expand before partial aggregate, keyed exchange") {
     val df = graft.textops.Corpus.stats(spark, sf)
     val phys = df.queryExecution.executedPlan.toString

@@ -1,0 +1,92 @@
+package graft
+
+import graft.textops.{Ivf, PortableHash, Similarity}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of SemDeDup (cluster + within-cluster cosine + centroid-
+  * distance keeper) against a plain-Scala brute force over the SAME
+  * trained codebook (training itself is pinned by SimilaritySpec and the
+  * ivf oracle); the DuckDB oracle is the value gate.
+  */
+class SemDedupSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  /** Planted corpus replicated in plain Scala (the Similarity
+    * perturbation contract: every PlantEvery-th vector re-appears with
+    * components scaled by 1 + (h%101-50)/1000).
+    */
+  private lazy val corpus: Map[Long, Array[Double]] = {
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray).toMap
+    val planted = base.collect {
+      case (id, v) if id % Similarity.PlantEvery == 0 =>
+        (id + Similarity.PlantIdOffset) -> v.zipWithIndex.map { case (x, i) =>
+          x * (1.0 + (PortableHash.hexint32(s"pert-$id-$i") % 101 - 50) / 1000.0)
+        }
+    }
+    base ++ planted
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    round6(d / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  test("dedup_semantic matches the brute-force cluster + keeper rule") {
+    val cb = Ivf.trainedCentroids(spark, sf)
+    val assign = corpus.map { case (id, v) =>
+      id -> (Ivf.nearestLists(cb, v, 1).head, Ivf.distSq(v, cb(Ivf.nearestLists(cb, v, 1).head)))
+    }
+    val byCluster = corpus.keys.groupBy(id => assign(id)._1)
+    val expectedDrop = corpus.keys.filter { x =>
+      val (cx, dx) = assign(x)
+      byCluster(cx).exists { y =>
+        y != x && {
+          val dy = assign(y)._2
+          (dy > dx || (dy == dx && y < x)) &&
+            cos(corpus(x), corpus(y)) >= Ivf.SemDedupCosine
+        }
+      }
+    }.toSet
+
+    val rows = Ivf.semDedup(spark, sf).collect()
+    assert(rows.length === corpus.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(r.getAs[Int]("cluster_id") === assign(id)._1, s"vec $id")
+      assert(r.getAs[Boolean]("is_dup") === expectedDrop(id), s"vec $id")
+      assert(r.getAs[Boolean]("keep") === !expectedDrop(id), s"vec $id")
+    }
+    assert(expectedDrop.nonEmpty, "planted duplicates must be detected")
+    assert(expectedDrop.size < corpus.size)
+  }
+
+  test("every near-dup group keeps at least one member; planted pairs resolve") {
+    val rows = Ivf.semDedup(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("cluster_id"), r.getAs[Boolean]("is_dup"))).toMap
+    // for each planted pair landing in one cluster, exactly the
+    // centroid-NEARER copy is dropped (the farther one survives)
+    var resolved = 0
+    corpus.keys.filter(_ >= Similarity.PlantIdOffset).foreach { pid =>
+      val src = pid - Similarity.PlantIdOffset
+      if (rows(pid)._1 == rows(src)._1 &&
+        cos(corpus(pid), corpus(src)) >= Ivf.SemDedupCosine) {
+        assert(rows(pid)._2 || rows(src)._2, s"pair ($src, $pid): one must drop")
+        // both dropping would need a third near-identical neighbor; the
+        // plant is pairwise, so exactly one copy survives
+        assert(!(rows(pid)._2 && rows(src)._2), s"pair ($src, $pid): both dropped")
+        resolved += 1
+      }
+    }
+    assert(resolved > 0, "some planted pair must land in one cluster")
+  }
+}
