@@ -444,6 +444,13 @@ object Corpus {
     */
   val StatsAll = "<all>"
 
+  /** Sentinel for a genuinely-NULL input dimension value — normalized
+    * BEFORE grouping in both engines, so a null lang/source groups as its
+    * own category and can never be confused with a [[StatsAll]] roll-up
+    * row (gid disambiguates those regardless).
+    */
+  val StatsNull = "<null>"
+
   /** Driver query `corpus_stats` — the corpus card: doc / token / char
     * totals by (lang × source) with CUBE roll-ups (per-lang, per-source,
     * grand total), each level tagged by an explicit grouping id. This is
@@ -456,9 +463,15 @@ object Corpus {
     */
   def stats(spark: SparkSession, sfDir: String): DataFrame = {
     val d = TextAnalysis.loadDocs(spark, sfDir)
-    d.select(col("lang"), col("source"),
-        size(TextAnalysis.nonEmptyWords(col("text"))).cast("long").as("n_tokens"),
-        col("n_chars"))
+    // null inputs normalize BEFORE grouping: a null dimension becomes its
+    // own StatsNull category (not a fake roll-up row), null text counts 0
+    // tokens in BOTH engines (Spark's size(null) is -1 — it would
+    // silently subtract from the sum), null n_chars counts 0
+    d.select(coalesce(col("lang"), lit(StatsNull)).as("lang"),
+        coalesce(col("source"), lit(StatsNull)).as("source"),
+        size(TextAnalysis.nonEmptyWords(coalesce(col("text"), lit(""))))
+          .cast("long").as("n_tokens"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"))
       .cube("lang", "source")
       .agg(
         (grouping(col("lang")) * 2 + grouping(col("source")))

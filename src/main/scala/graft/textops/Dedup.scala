@@ -558,10 +558,15 @@ object Dedup {
     * shuffles.
     */
   def incremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = TextAnalysis.loadDocs(spark, sfDir)
-    val tagged = d.select(d("doc_id"), hexint60(d("text")).as("text_hash"),
-      (PortableHash.hexint32(concat(lit("incr:"), d("doc_id").cast("string")))
-        % 100L < IncrementalBasePct).as("in_base"))
+    // memoized: base signatures, the delta side, and the in-delta keeper
+    // all read this projection — one scan and ONE text-hashing pass, not
+    // three (the persisted table is fixed-width, ~17 bytes/doc)
+    val tagged = memoized(spark, s"$sfDir#incremental-tags") {
+      val d = TextAnalysis.loadDocs(spark, sfDir)
+      d.select(d("doc_id"), hexint60(d("text")).as("text_hash"),
+        (PortableHash.hexint32(concat(lit("incr:"), d("doc_id").cast("string")))
+          % 100L < IncrementalBasePct).as("in_base"))
+    }
     val baseSigs = tagged.where(col("in_base"))
       .select("text_hash").distinct()
       .withColumn("dup_of_base", lit(true))

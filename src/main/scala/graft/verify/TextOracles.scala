@@ -515,9 +515,14 @@ ORDER BY doc_id"""
     * [[graft.textops.Dedup.dupPassages]]): per-doc DISTINCT 5-gram
     * hashes, corpus-wide frequency, dup = gram held by >= 2 docs.
     */
-  val dupPassages: String = {
-    import graft.textops.Dedup
-    s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+  /** Shared per-doc distinct-5-gram CTE chain (`w` → `g(doc_id, grams)`
+    * → exploded `dg(doc_id, g)`), the [[graft.textops.TextAnalysis
+    * .gramHashesScala]] contract: word 5-gram hashes, whole-text hash
+    * below 5 words. One definition for [[dupPassages]] and
+    * [[containment]] so the gram unit cannot silently diverge.
+    */
+  private def docGramCtes: String =
+    s"""w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
 g AS (
   SELECT doc_id,
     list_distinct(CASE WHEN len(ws) >= 5 THEN
@@ -525,7 +530,11 @@ g AS (
         i -> ${h60("array_to_string(ws[i+1:i+5], ' ')")})
     ELSE [${h60("text")}] END) AS grams
   FROM w),
-dg AS (SELECT doc_id, u.gg AS g FROM g, UNNEST(grams) u(gg)),
+dg AS (SELECT doc_id, u.gg AS g FROM g, UNNEST(grams) u(gg))"""
+
+  val dupPassages: String = {
+    import graft.textops.Dedup
+    s"""WITH $docGramCtes,
 freq AS (SELECT g FROM dg GROUP BY g HAVING count(*) >= 2),
 dup AS (SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS dup_grams
         FROM dg JOIN freq USING (g) GROUP BY dg.doc_id),
@@ -876,20 +885,13 @@ FROM cand c JOIN nv n ON n.vec_id = c.vec_id, q
 ORDER BY sim DESC, n.vec_id LIMIT ${Similarity.TopK}"""
   }
 
-  /** IVF top-k (mirrors [[graft.textops.Ivf.topK]]), INCLUDING the
-    * k-means training pass: sample vectors (deterministic hash
-    * threshold), assign each to its nearest SEED centroid (ORDER BY
-    * dist, cid == the kernel's strict-less first-wins argmin), replace
-    * each centroid with the quantized mean of its sample (integer sums →
-    * one IEEE division, bit-exact vs Spark's distributed aggregation;
-    * empty lists keep their seed), then assign the full corpus against
-    * the TRAINED codebook, probe the query's NProbe nearest lists, and
-    * exact-cosine rank the survivors.
-    */
   /** The k-means training chain (seed codebook → deterministic sample →
-    * assign → quantized means → `trained(cid, vec)`), shared by
-    * [[ivfTopK]] and [[semDedup]]. Expects an `e(vec_id, v, ...)` CTE in
-    * scope.
+    * assign to nearest seed centroid — ORDER BY dist, cid == the
+    * kernel's strict-less first-wins argmin — → quantized means: integer
+    * sums → one IEEE division, bit-exact vs Spark's distributed
+    * aggregation; empty lists keep their seed → `trained(cid, vec)`),
+    * shared by [[ivfTopK]] and [[semDedup]]. Expects an
+    * `e(vec_id, v, ...)` CTE in scope.
     */
   private def ivfTrainedCte: String = {
     import graft.textops.Ivf
@@ -924,6 +926,11 @@ trained AS (
   FROM allc a CROSS JOIN cb LEFT JOIN tvec t ON t.cid = a.cid)"""
   }
 
+  /** IVF top-k (mirrors [[graft.textops.Ivf.topK]]), INCLUDING the
+    * k-means training pass ([[ivfTrainedCte]]): assign the full corpus
+    * against the TRAINED codebook, probe the query's NProbe nearest
+    * lists, exact-cosine rank the survivors.
+    */
   val ivfTopK: String = {
     import graft.textops.Ivf
     val D = graft.textops.Similarity.Dim
@@ -1321,15 +1328,7 @@ FROM sc ORDER BY doc_id"""
     */
   val containment: String = {
     import graft.textops.Dedup._
-    s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
-g AS (
-  SELECT doc_id,
-    list_distinct(CASE WHEN len(ws) >= 5 THEN
-      list_transform(range(len(ws) - 4),
-        i -> ${h60("array_to_string(ws[i+1:i+5], ' ')")})
-    ELSE [${h60("text")}] END) AS grams
-  FROM w),
-dg AS (SELECT doc_id, u.gg AS g FROM g, UNNEST(grams) u(gg)),
+    s"""WITH $docGramCtes,
 rare AS (
   SELECT dg.doc_id, dg.g FROM dg
   JOIN (SELECT g FROM dg GROUP BY g HAVING count(*) <= $ContainmentGramDfMax) f USING (g)),
@@ -1378,9 +1377,10 @@ ORDER BY d.doc_id"""
   val corpusStats: String = {
     import graft.textops.Corpus
     s"""WITH t AS (
-  SELECT lang, source,
-    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
-    n_chars
+  SELECT COALESCE(lang, '${Corpus.StatsNull}') AS lang,
+    COALESCE(source, '${Corpus.StatsNull}') AS source,
+    CAST(len(list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+    COALESCE(n_chars, 0) AS n_chars
   FROM documents)
 SELECT CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid,
   COALESCE(lang, '${Corpus.StatsAll}') AS lang,

@@ -210,6 +210,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
   test("incremental dedup: hash-keyed signature join, no window, no text in shuffles") {
     val df = graft.textops.Dedup.incremental(spark, sf)
     val phys = df.queryExecution.executedPlan.toString
+    // the tagged (doc_id, text_hash, in_base) projection persists once;
+    // base sigs, delta, and the keeper agg all read the cache — one scan,
+    // one text-hashing pass
+    assert(count(phys, "InMemoryTableScan") >= 3, s"\n$phys")
     assert(count(phys, "hashpartitioning(text_hash") >= 1, s"\n$phys")
     assert(count(phys, "SinglePartition") === 0, s"\n$phys")
     assert(!phys.contains("Window"), s"\n$phys")

@@ -43,7 +43,8 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
   test("dedup_semantic matches the brute-force cluster + keeper rule") {
     val cb = Ivf.trainedCentroids(spark, sf)
     val assign = corpus.map { case (id, v) =>
-      id -> (Ivf.nearestLists(cb, v, 1).head, Ivf.distSq(v, cb(Ivf.nearestLists(cb, v, 1).head)))
+      val cid = Ivf.nearestLists(cb, v, 1).head
+      id -> (cid, Ivf.distSq(v, cb(cid)))
     }
     val byCluster = corpus.keys.groupBy(id => assign(id)._1)
     val expectedDrop = corpus.keys.filter { x =>
