@@ -132,4 +132,34 @@ class ContainmentSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[String]("lang") != null && r.getAs[String]("source") != null)
     }
   }
+
+  test("corpus_stats normalizes NULL inputs: own category, zero-token text") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stats").toString
+    new java.io.File(dir).deleteOnExit()
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, "three little words", "en", "web", 18L),
+      org.apache.spark.sql.Row(2L, null, null, "web", null),
+      org.apache.spark.sql.Row(3L, "more text here", null, null, 14L))
+    spark.createDataFrame(rows, schema).write.parquet(s"$dir/documents.parquet")
+
+    val out = Corpus.stats(spark, dir).collect()
+    val detail = out.filter(_.getAs[Long]("gid") == 0L)
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) -> r).toMap
+    // null dims group as their own <null> category, never as a roll-up
+    assert(detail.keySet === Set(
+      ("en", "web"), (Corpus.StatsNull, "web"), (Corpus.StatsNull, Corpus.StatsNull)))
+    val nullRow = detail((Corpus.StatsNull, "web"))
+    // null text counts 0 tokens (Spark's size(null) = -1 must not leak)
+    assert(nullRow.getAs[Long]("tokens") === 0L)
+    assert(nullRow.getAs[Long]("chars") === 0L)
+    val total = out.filter(_.getAs[Long]("gid") == 3L).head
+    assert(total.getAs[Long]("n_docs") === 3L)
+    assert(total.getAs[Long]("tokens") === 6L)
+    assert(total.getAs[String]("lang") === Corpus.StatsAll)
+  }
 }
