@@ -91,6 +91,8 @@ object SparkEntry {
     "dedup_incremental" -> ((s, dir) => graft.textops.Dedup.incremental(s, dir)),
     // corpus card: CUBE roll-up of doc/token/char totals
     "corpus_stats" -> ((s, dir) => graft.textops.Corpus.stats(s, dir)),
+    // Dolma-style gate stack: gopher AND clf AND lm AND dedup-keeper
+    "corpus_filter_ensemble" -> ((s, dir) => graft.textops.Corpus.filterEnsemble(s, dir)),
     // CCNet-style bigram-LM scoring + per-lang perplexity tertiles
     "text_lm_score" -> ((s, dir) => graft.textops.LmScore.score(s, dir)),
     "corpus_ppl_buckets" -> ((s, dir) => graft.textops.LmScore.buckets(s, dir)),
@@ -171,6 +173,7 @@ SELECT doc_id, kind, text, media_ref, "offset" FROM synth ORDER BY doc_id, "offs
     "dedup_containment" -> graft.verify.TextOracles.containment,
     "dedup_incremental" -> graft.verify.TextOracles.incremental,
     "corpus_stats" -> graft.verify.TextOracles.corpusStats,
+    "corpus_filter_ensemble" -> graft.verify.TextOracles.filterEnsemble,
     "text_lm_score" -> graft.verify.TextOracles.lmScore,
     "corpus_ppl_buckets" -> graft.verify.TextOracles.pplBuckets,
     "corpus_dsir" -> graft.verify.TextOracles.dsir,

@@ -461,6 +461,50 @@ object Corpus {
     * by |langs|·|sources|, not by the corpus. Sums are integer (token /
     * char counts), so aggregation order cannot perturb the values.
     */
+  /** Driver query `corpus_filter_ensemble` — the Dolma-style gate stack:
+    * one verdict per doc from ALL the audited quality signals at once —
+    * Gopher rule battery ∧ linear classifier ∧ LM perplexity cut ∧
+    * exact-dedup keeper. Real pipelines ship exactly this conjunction
+    * (rules catch garbage, the classifier catches off-distribution text,
+    * the LM catches fluent-but-wrong-register text, dedup catches
+    * copies); each signal column is exposed so the drop REASON is
+    * auditable per doc.
+    *
+    * Scale shape: the rule/classifier/hash signals compute in ONE text
+    * pass off the scan (word array + repetition kernel materialized once
+    * in a struct projection — the same CollapseProject discipline as
+    * curate), memoized as a fixed-width tag table; the dedup keeper is
+    * the standard partial aggregate on the content hash; the LM signal
+    * joins in from the memoized [[LmScore.scoreTable]] (its own audited
+    * aggregates) keyed on doc_id. No window, no SinglePartition, text in
+    * no shuffle.
+    */
+  def filterEnsemble(spark: SparkSession, sfDir: String): DataFrame = {
+    val tagged = SessionMemo(spark, s"$sfDir#ensemble-tags") {
+      val d = TextAnalysis.loadDocs(spark, sfDir)
+      val withW = d.select(d("doc_id"), d("text"),
+        TextAnalysis.nonEmptyWords(d("text")).as("ws"),
+        TextAnalysis.repetitionFracs(d("text")).as("fracs"))
+      val f = TextAnalysis.clfFeatures(col("ws"), col("fracs"))
+      withW.select(
+        col("doc_id"),
+        TextAnalysis.gopherKeepFromWords(col("text"), col("ws")).as("gopher_keep"),
+        (TextAnalysis.clfScoreU8(f(0), f(1), f(2), f(3), f(4))
+          >= TextAnalysis.ClfCutC * 1000000L).as("clf_keep"),
+        PortableHash.hexint60(col("text")).as("text_hash"))
+    }
+    val keeper = tagged.groupBy("text_hash").agg(min("doc_id").as("keeper_id"))
+    val lm = LmScore.scoreTable(spark, sfDir)
+      .select(col("doc_id"), col("keep").as("lm_keep"))
+    tagged.join(keeper, Seq("text_hash"))
+      .join(lm, Seq("doc_id"))
+      .select(col("doc_id"), col("gopher_keep"), col("clf_keep"),
+        (col("doc_id") === col("keeper_id")).as("dedup_keep"), col("lm_keep"))
+      .withColumn("keep",
+        col("gopher_keep") && col("clf_keep") && col("dedup_keep") && col("lm_keep"))
+      .orderBy("doc_id")
+  }
+
   def stats(spark: SparkSession, sfDir: String): DataFrame = {
     val d = TextAnalysis.loadDocs(spark, sfDir)
     // null inputs normalize BEFORE grouping: a null dimension becomes its

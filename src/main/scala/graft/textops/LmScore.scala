@@ -130,9 +130,10 @@ object LmScore {
   }
 
   /** Memoized [[scoreCore]] over the memoized gram table ([[buckets]]
-    * reuses it, and the bench re-invokes the queries).
+    * and [[Corpus.filterEnsemble]] reuse it, and the bench re-invokes
+    * the queries).
     */
-  private def scoreTable(spark: SparkSession, sfDir: String): DataFrame =
+  private[textops] def scoreTable(spark: SparkSession, sfDir: String): DataFrame =
     SessionMemo(spark, s"lm-score:$sfDir")(
       scoreCore(spark, sfDir, gramTable(spark, sfDir)))
 

@@ -1392,6 +1392,23 @@ FROM t GROUP BY CUBE (lang, source)
 ORDER BY gid, lang, source"""
   }
 
+  /** Quality-gate ensemble (mirrors
+    * [[graft.textops.Corpus.filterEnsemble]]): the audited single-signal
+    * oracles embedded VERBATIM as derived tables — gopher ∧ classifier ∧
+    * LM cut ∧ exact-dedup keeper — so the composition cannot drift from
+    * the standalone definitions.
+    */
+  val filterEnsemble: String =
+    s"""WITH g AS (SELECT doc_id, keep FROM ($gopherRules)),
+c AS (SELECT doc_id, keep FROM ($qualityClassifier)),
+l AS (SELECT doc_id, keep FROM ($lmScore)),
+e AS (SELECT doc_id, is_duplicate FROM ($dedupExact))
+SELECT g.doc_id, g.keep AS gopher_keep, c.keep AS clf_keep,
+  NOT e.is_duplicate AS dedup_keep, l.keep AS lm_keep,
+  g.keep AND c.keep AND NOT e.is_duplicate AND l.keep AS keep
+FROM g JOIN c USING (doc_id) JOIN l USING (doc_id) JOIN e USING (doc_id)
+ORDER BY doc_id"""
+
   /** SemDeDup (mirrors [[graft.textops.Ivf.semDedup]]): trained-IVF
     * cluster assignment of the planted corpus, within-cluster pairwise
     * cosine, drop when a near-identical neighbor is farther from the

@@ -133,6 +133,30 @@ class ContainmentSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("corpus_filter_ensemble agrees with every standalone audited signal") {
+    import graft.textops.{LmScore, TextAnalysis}
+    def keepMap(df: org.apache.spark.sql.DataFrame, col: String = "keep") =
+      df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean](col)).toMap
+    val gop = keepMap(TextAnalysis.gopherRules(spark, sf))
+    val clf = keepMap(TextAnalysis.qualityClassifier(spark, sf))
+    val lm = keepMap(LmScore.score(spark, sf))
+    val dup = keepMap(Dedup.exact(spark, sf), "is_duplicate")
+
+    val rows = Corpus.filterEnsemble(spark, sf).collect()
+    assert(rows.length === docs.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("gopher_keep") === gop(id), s"doc $id gopher")
+      assert(r.getAs[Boolean]("clf_keep") === clf(id), s"doc $id clf")
+      assert(r.getAs[Boolean]("lm_keep") === lm(id), s"doc $id lm")
+      assert(r.getAs[Boolean]("dedup_keep") === !dup(id), s"doc $id dedup")
+      assert(r.getAs[Boolean]("keep") ===
+        (gop(id) && clf(id) && lm(id) && !dup(id)), s"doc $id")
+    }
+    assert(rows.exists(_.getAs[Boolean]("keep")))
+    assert(rows.exists(!_.getAs[Boolean]("keep")))
+  }
+
   test("corpus_stats normalizes NULL inputs: own category, zero-token text") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stats").toString
     new java.io.File(dir).deleteOnExit()

@@ -239,6 +239,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(count(phys, "rangepartitioning") <= 1, s"\n$phys")
   }
 
+  test("ensemble filter: shared tag table, keyed keeper agg, no window") {
+    val df = graft.textops.Corpus.filterEnsemble(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    // the fixed-width tag table persists once; keeper agg + probe side
+    // both read the cache (rule/clf/hash signals = ONE text pass)
+    assert(count(phys, "InMemoryTableScan") >= 2, s"\n$phys")
+    assert(count(phys, "hashpartitioning(text_hash") >= 1, s"\n$phys")
+    assert(!phys.contains("Window"), s"\n$phys")
+    assert(!phys.contains("CartesianProduct"), s"\n$phys")
+    assert(count(phys, "rangepartitioning") <= 1, s"\n$phys")
+  }
+
   test("corpus stats: one scan, Expand before partial aggregate, keyed exchange") {
     val df = graft.textops.Corpus.stats(spark, sf)
     val phys = df.queryExecution.executedPlan.toString
