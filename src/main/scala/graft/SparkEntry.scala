@@ -95,6 +95,8 @@ object SparkEntry {
     "corpus_filter_ensemble" -> ((s, dir) => graft.textops.Corpus.filterEnsemble(s, dir)),
     // CCNet-style bigram-LM scoring + per-lang perplexity tertiles
     "text_lm_score" -> ((s, dir) => graft.textops.LmScore.score(s, dir)),
+    // CCNet deployment shape: train on the clean slice, score everything
+    "text_lm_score_cross" -> ((s, dir) => graft.textops.LmScore.scoreCross(s, dir)),
     "corpus_ppl_buckets" -> ((s, dir) => graft.textops.LmScore.buckets(s, dir)),
     // DSIR hashed-ngram importance resampling
     "corpus_dsir" -> ((s, dir) => graft.textops.Dsir.select(s, dir)),
@@ -175,6 +177,7 @@ SELECT doc_id, kind, text, media_ref, "offset" FROM synth ORDER BY doc_id, "offs
     "corpus_stats" -> graft.verify.TextOracles.corpusStats,
     "corpus_filter_ensemble" -> graft.verify.TextOracles.filterEnsemble,
     "text_lm_score" -> graft.verify.TextOracles.lmScore,
+    "text_lm_score_cross" -> graft.verify.TextOracles.lmScoreCross,
     "corpus_ppl_buckets" -> graft.verify.TextOracles.pplBuckets,
     "corpus_dsir" -> graft.verify.TextOracles.dsir,
     "text_repetition" -> graft.verify.TextOracles.repetition,

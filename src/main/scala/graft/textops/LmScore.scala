@@ -86,28 +86,51 @@ object LmScore {
   /** Per-document LM score plan over a gram table — un-memoized builder.
     * Columns: doc_id, lang, n_words, n_bigrams, nll_micro_sum,
     * avg_nll_micro, keep. Docs with <2 words score NULL and keep=false.
+    *
+    * `trainFilter` restricts which docs TRAIN the LM (count tables +
+    * vocabulary); every doc is SCORED regardless. `None` = the corpus
+    * trains on itself ([[score]]); a language/source predicate gives
+    * CCNet's actual deployment shape — train on a clean reference
+    * corpus, score the crawl ([[scoreCross]]). Smoothing makes unseen
+    * grams finite: c12 = 0 for a gram outside the training slice, so
+    * its term is ln((c1 + V) / 1) — the correct "never seen" penalty.
     */
   private[graft] def scoreCore(spark: SparkSession, sfDir: String,
-      g: DataFrame): DataFrame = {
+      g: DataFrame, trainFilter: Option[Column] = None): DataFrame = {
       val d = TextAnalysis.loadDocs(spark, sfDir)
+      val dTrain = trainFilter.map(d.where).getOrElse(d)
+      // training grams: the gram table is keyed by doc_id, so the train
+      // slice is a semi-join against the (tiny, fixed-width) train-id set
+      // — at scale a broadcast; the DOC text is never re-scanned
+      val gTrain = trainFilter match {
+        case None => g
+        case Some(_) =>
+          g.join(dTrain.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      }
 
-      val bg = g.groupBy("bg_h").agg(count(lit(1)).as("c12"))
-      val uc = g.groupBy("u_h").agg(count(lit(1)).as("c1"))
-      // vocabulary = distinct 60-bit word hashes, as a broadcast 1-row
-      // aggregate so V stays in the plan (no driver collect)
-      val v = d
+      val bg = gTrain.groupBy("bg_h").agg(count(lit(1)).as("c12"))
+      val uc = gTrain.groupBy("u_h").agg(count(lit(1)).as("c1"))
+      // vocabulary = distinct 60-bit word hashes OF THE TRAINING SLICE,
+      // as a broadcast 1-row aggregate so V stays in the plan (no driver
+      // collect)
+      val v = dTrain
         .select(explode(TextAnalysis.nonEmptyWords(col("text"))).as("w"))
         .agg(countDistinct(PortableHash.hexint60(col("w"))).as("vv"))
 
+      // LEFT joins: a gram unseen in training has c12 = c1 = 0 and costs
+      // the full add-one penalty ln((0 + V) / (0 + 1)) — an inner join
+      // would silently SKIP unseen grams, understating cross-trained
+      // perplexity exactly where it matters (self-trained values are
+      // identical either way: every scored gram is in its own counts)
       val terms = g
-        .join(bg, "bg_h")
-        .join(uc, "u_h")
+        .join(bg, Seq("bg_h"), "left")
+        .join(uc, Seq("u_h"), "left")
         .crossJoin(broadcast(v))
         .select(
           col("doc_id"),
           round(lit(1e6) * log(
-            (col("c1") + col("vv")).cast("double") /
-              (col("c12") + Smoothing).cast("double")), 0)
+            (coalesce(col("c1"), lit(0L)) + col("vv")).cast("double") /
+              (coalesce(col("c12"), lit(0L)) + Smoothing).cast("double")), 0)
             .cast("long").as("nll_micro"))
 
       val perDoc = terms.groupBy("doc_id").agg(
@@ -140,6 +163,28 @@ object LmScore {
   /** Driver query `text_lm_score`. */
   def score(spark: SparkSession, sfDir: String): DataFrame =
     scoreTable(spark, sfDir).orderBy("doc_id")
+
+  /** Training slice for [[scoreCross]]: the corpus' English documents
+    * stand in for the clean reference corpus (CCNet trains its LM on
+    * Wikipedia and scores the crawl; the dataflow is identical — a real
+    * reference table swaps in as the training scan).
+    */
+  val TrainLang = "en"
+
+  /** Driver query `text_lm_score_cross` — CCNet's actual deployment
+    * shape: the LM (count tables + vocabulary) trains on the
+    * [[TrainLang]] slice ONLY and every document scores against the
+    * frozen counts; out-of-slice text pays the full unseen-gram add-one
+    * penalty ln(V) per novel bigram. Same keep threshold as [[score]]
+    * (the oracle freezes it); the slice predicate reaches the gram table
+    * as a semi-join on doc_id and the count aggregates keep their
+    * map-side-combined keyed shape.
+    */
+  def scoreCross(spark: SparkSession, sfDir: String): DataFrame =
+    SessionMemo(spark, s"lm-score-cross:$sfDir")(
+      scoreCore(spark, sfDir, gramTable(spark, sfDir),
+        Some(col("lang") === TrainLang)))
+      .orderBy("doc_id")
 
   /** Driver query `corpus_ppl_buckets`: CCNet head/middle/tail per
     * language. Cutoffs are the smallest histogram bins whose cumulative

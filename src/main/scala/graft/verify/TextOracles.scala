@@ -1210,10 +1210,15 @@ ORDER BY doc_id, "offset""""
   // ---- CCNet-style bigram-LM scoring (graft.textops.LmScore) ----
 
   /** Shared CTE chain: words → exploded bigram hashes → counts → per-doc
-    * score. Mirrors [[graft.textops.LmScore.scoreTable]] exactly: per-term
-    * nll micro-quantized to BIGINT before the (order-independent) sum.
+    * score. Mirrors [[graft.textops.LmScore.scoreCore]] exactly:
+    * per-term nll micro-quantized to BIGINT before the
+    * (order-independent) sum. `trainCond` restricts which docs TRAIN
+    * the counts + vocabulary (every doc is scored); unseen grams LEFT-
+    * join to c12 = c1 = 0 — the full add-one penalty (for the
+    * self-trained `TRUE` slice the LEFT joins bind every row, so the
+    * values are identical to the original inner-join form).
     */
-  private def lmScoreCtes: String = {
+  private def lmScoreCtes(trainCond: String = "TRUE"): String = {
     import graft.textops.LmScore._
     s"""w AS (
   SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents
@@ -1222,14 +1227,16 @@ ORDER BY doc_id, "offset""""
     i -> struct_pack(p := ws[i+1], n := ws[i+2]))) AS pr FROM w
 ), g AS (
   SELECT doc_id, ${h60("pr.p || ' ' || pr.n")} AS bg_h, ${h60("pr.p")} AS u_h FROM g0
-), bc AS (SELECT bg_h, count(*) AS c12 FROM g GROUP BY 1),
-uc AS (SELECT u_h, count(*) AS c1 FROM g GROUP BY 1),
+), tw AS (SELECT doc_id FROM documents WHERE $trainCond),
+gt AS (SELECT g.* FROM g JOIN tw USING (doc_id)),
+bc AS (SELECT bg_h, count(*) AS c12 FROM gt GROUP BY 1),
+uc AS (SELECT u_h, count(*) AS c1 FROM gt GROUP BY 1),
 v AS (SELECT count(DISTINCT ${h60("x")}) AS vv
-      FROM (SELECT unnest(ws) AS x FROM w)),
+      FROM (SELECT unnest(ws) AS x FROM w JOIN tw USING (doc_id))),
 t AS (
   SELECT g.doc_id, CAST(round(1000000.0 *
-    ln(CAST(c1 + vv AS DOUBLE) / CAST(c12 + $Smoothing AS DOUBLE)), 0) AS BIGINT) AS nll_micro
-  FROM g JOIN bc USING (bg_h) JOIN uc USING (u_h) CROSS JOIN v
+    ln(CAST(COALESCE(c1, 0) + vv AS DOUBLE) / CAST(COALESCE(c12, 0) + $Smoothing AS DOUBLE)), 0) AS BIGINT) AS nll_micro
+  FROM g LEFT JOIN bc USING (bg_h) LEFT JOIN uc USING (u_h) CROSS JOIN v
 ), d AS (
   SELECT doc_id, count(*) AS n_bigrams,
          CAST(sum(nll_micro) AS BIGINT) AS nll_micro_sum FROM t GROUP BY 1
@@ -1245,7 +1252,18 @@ t AS (
   /** Mirrors [[graft.textops.LmScore.score]]. */
   val lmScore: String = {
     import graft.textops.LmScore._
-    s"""WITH $lmScoreCtes
+    s"""WITH ${lmScoreCtes()}
+SELECT doc_id, lang, n_words, n_bigrams, nll_micro_sum, avg_nll_micro,
+  COALESCE(avg_nll_micro <= $LmNllMaxMicro, false) AS keep
+FROM sc ORDER BY doc_id"""
+  }
+
+  /** Mirrors [[graft.textops.LmScore.scoreCross]]: the LM trains on the
+    * TrainLang slice only; every doc scores against the frozen counts.
+    */
+  val lmScoreCross: String = {
+    import graft.textops.LmScore._
+    s"""WITH ${lmScoreCtes(s"lang = '$TrainLang'")}
 SELECT doc_id, lang, n_words, n_bigrams, nll_micro_sum, avg_nll_micro,
   COALESCE(avg_nll_micro <= $LmNllMaxMicro, false) AS keep
 FROM sc ORDER BY doc_id"""
@@ -1256,7 +1274,7 @@ FROM sc ORDER BY doc_id"""
     */
   val pplBuckets: String = {
     import graft.textops.LmScore._
-    s"""WITH $lmScoreCtes,
+    s"""WITH ${lmScoreCtes()},
 binned AS (
   SELECT doc_id, lang, avg_nll_micro, avg_nll_micro // $BinMicro AS bin
   FROM sc WHERE avg_nll_micro IS NOT NULL

@@ -59,6 +59,47 @@ class LmScoreSpec extends AnyFunSuite with SparkSpec {
     assert(kept > 0 && cut > 0, "threshold must be non-vacuous on the fixture")
   }
 
+  test("text_lm_score_cross trains on the en slice and penalizes unseen grams") {
+    val c12 = new scala.collection.mutable.HashMap[(String, String), Long]
+    val c1 = new scala.collection.mutable.HashMap[String, Long]
+    docs.foreach { case (_, (lang, t)) =>
+      if (lang == LmScore.TrainLang)
+        words(t).sliding(2).filter(_.length == 2).foreach { a =>
+          c12((a(0), a(1))) = c12.getOrElse((a(0), a(1)), 0L) + 1
+          c1(a(0)) = c1.getOrElse(a(0), 0L) + 1
+        }
+    }
+    val v = docs.values.collect { case (LmScore.TrainLang, t) => words(t) }
+      .flatten.toSet.size.toLong
+
+    val rows = LmScore.scoreCross(spark, sf).collect()
+    assert(rows.length === docs.size)
+    var enKept = 0; var crossPenalized = 0
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (lang, t) = docs(id)
+      val bgs = words(t).sliding(2).filter(_.length == 2)
+        .map(a => (a(0), a(1))).toSeq
+      val terms = bgs.map(bg => u6(1e6 * math.log(
+        (c1.getOrElse(bg._1, 0L) + v).toDouble /
+          (c12.getOrElse(bg, 0L) + 1).toDouble)))
+      assert(r.getAs[Long]("n_bigrams") === bgs.length.toLong, s"doc $id")
+      assert(r.getAs[Long]("nll_micro_sum") === terms.sum, s"doc $id")
+      val avg = u6(terms.sum.toDouble / bgs.length)
+      assert(r.getAs[Boolean]("keep") === (avg <= LmScore.LmNllMaxMicro), s"doc $id")
+      if (lang == LmScore.TrainLang && r.getAs[Boolean]("keep")) enKept += 1
+      // the unseen-gram penalty: at least one out-of-slice doc must carry
+      // a bigram absent from the en counts, whose term is exactly ln(V)
+      // (c12 = c1 = 0) — the brute force above computed it that way, so
+      // value agreement already proves the LEFT-join path; here we just
+      // require the case to be exercised non-vacuously
+      if (lang != LmScore.TrainLang && bgs.exists(bg => !c12.contains(bg)))
+        crossPenalized += 1
+    }
+    assert(enKept > 0, "in-slice docs must survive the same threshold")
+    assert(crossPenalized > 0, "the unseen-gram penalty must be exercised")
+  }
+
   test("corpus_ppl_buckets assigns histogram tertiles per language") {
     val avg = reference.map { case (id, (n, s)) => id -> u6(s.toDouble / n) }
     val bins = avg.view.mapValues(_ / LmScore.BinMicro).toMap
