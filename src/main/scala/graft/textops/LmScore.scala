@@ -95,27 +95,39 @@ object LmScore {
     * grams finite: c12 = 0 for a gram outside the training slice, so
     * its term is ln((c1 + V) / 1) — the correct "never seen" penalty.
     */
+  /** The LM "model": training-slice bigram counts `bg(bg_h, c12)`,
+    * context counts `uc(u_h, c1)`, and the 1-row vocabulary aggregate
+    * `v(vv)`. ONE definition feeds [[scoreCore]] (batch, in-plan) and
+    * [[graft.streaming.ScoreStream]]'s offline planner (collected +
+    * broadcast) — the frozen artifact CCNet ships to workers.
+    */
+  private[graft] def trainCounts(spark: SparkSession, sfDir: String,
+      g: DataFrame, trainFilter: Option[Column]):
+      (DataFrame, DataFrame, DataFrame) = {
+    val d = TextAnalysis.loadDocs(spark, sfDir)
+    val dTrain = trainFilter.map(d.where).getOrElse(d)
+    // training grams: the gram table is keyed by doc_id, so the train
+    // slice is a semi-join against the (tiny, fixed-width) train-id set
+    // — at scale a broadcast; the DOC text is never re-scanned
+    val gTrain = trainFilter match {
+      case None => g
+      case Some(_) =>
+        g.join(dTrain.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    }
+    val bg = gTrain.groupBy("bg_h").agg(count(lit(1)).as("c12"))
+    val uc = gTrain.groupBy("u_h").agg(count(lit(1)).as("c1"))
+    // vocabulary = distinct 60-bit word hashes OF THE TRAINING SLICE, as
+    // a 1-row aggregate (broadcast in-plan by scoreCore — no collect)
+    val v = dTrain
+      .select(explode(TextAnalysis.nonEmptyWords(col("text"))).as("w"))
+      .agg(countDistinct(PortableHash.hexint60(col("w"))).as("vv"))
+    (bg, uc, v)
+  }
+
   private[graft] def scoreCore(spark: SparkSession, sfDir: String,
       g: DataFrame, trainFilter: Option[Column] = None): DataFrame = {
       val d = TextAnalysis.loadDocs(spark, sfDir)
-      val dTrain = trainFilter.map(d.where).getOrElse(d)
-      // training grams: the gram table is keyed by doc_id, so the train
-      // slice is a semi-join against the (tiny, fixed-width) train-id set
-      // — at scale a broadcast; the DOC text is never re-scanned
-      val gTrain = trainFilter match {
-        case None => g
-        case Some(_) =>
-          g.join(dTrain.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      }
-
-      val bg = gTrain.groupBy("bg_h").agg(count(lit(1)).as("c12"))
-      val uc = gTrain.groupBy("u_h").agg(count(lit(1)).as("c1"))
-      // vocabulary = distinct 60-bit word hashes OF THE TRAINING SLICE,
-      // as a broadcast 1-row aggregate so V stays in the plan (no driver
-      // collect)
-      val v = dTrain
-        .select(explode(TextAnalysis.nonEmptyWords(col("text"))).as("w"))
-        .agg(countDistinct(PortableHash.hexint60(col("w"))).as("vv"))
+      val (bg, uc, v) = trainCounts(spark, sfDir, g, trainFilter)
 
       // LEFT joins: a gram unseen in training has c12 = c1 = 0 and costs
       // the full add-one penalty ln((0 + V) / (0 + 1)) — an inner join
@@ -180,6 +192,14 @@ object LmScore {
     * as a semi-join on doc_id and the count aggregates keep their
     * map-side-combined keyed shape.
     */
+  /** Offline planner surface for the streaming score tail: the
+    * [[TrainLang]] cross-model (counts + vocab) over the memoized gram
+    * table — what [[graft.streaming.ScoreStream.planModel]] collects.
+    */
+  def crossModel(spark: SparkSession, sfDir: String): (DataFrame, DataFrame, DataFrame) =
+    trainCounts(spark, sfDir, gramTable(spark, sfDir),
+      Some(col("lang") === TrainLang))
+
   def scoreCross(spark: SparkSession, sfDir: String): DataFrame =
     SessionMemo(spark, s"lm-score-cross:$sfDir")(
       scoreCore(spark, sfDir, gramTable(spark, sfDir),
