@@ -85,6 +85,8 @@ object SparkEntry {
     "corpus_decontam" -> ((s, dir) => graft.textops.Decontam.decontaminate(s, dir)),
     // SemDeDup: k-means-clustered embedding dedup, centroid-distance keeper
     "dedup_semantic" -> ((s, dir) => graft.textops.Ivf.semDedup(s, dir)),
+    "embed_diversity" -> ((s, dir) => graft.textops.Ivf.d4Diversity(s, dir)),
+    "text_tfidf_keywords" -> ((s, dir) => graft.textops.TextAnalysis.tfidfKeywords(s, dir)),
     // asymmetric containment dedup (quote-inclusion / aggregator pages)
     "dedup_containment" -> ((s, dir) => graft.textops.Dedup.containment(s, dir)),
     // delta-vs-base incremental exact dedup (the daily-crawl shape)
@@ -172,6 +174,8 @@ SELECT doc_id, kind, text, media_ref, "offset" FROM synth ORDER BY doc_id, "offs
     "corpus_clean" -> graft.verify.TextOracles.corpusClean,
     "corpus_decontam" -> graft.verify.TextOracles.decontaminate,
     "dedup_semantic" -> graft.verify.TextOracles.semDedup,
+    "embed_diversity" -> graft.verify.TextOracles.d4Diversity,
+    "text_tfidf_keywords" -> graft.verify.TextOracles.tfidfKeywords,
     "dedup_containment" -> graft.verify.TextOracles.containment,
     "dedup_incremental" -> graft.verify.TextOracles.incremental,
     "corpus_stats" -> graft.verify.TextOracles.corpusStats,

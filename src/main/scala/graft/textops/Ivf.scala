@@ -224,9 +224,24 @@ object Ivf {
     * replays the whole chain including codebook training.
     */
   def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val nv = assignTable(spark, sfDir)
+    val dropped = droppedIds(nv)
+    nv.join(dropped.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").as("cluster_id"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+      .withColumn("keep", !col("is_dup"))
+      .orderBy("vec_id")
+  }
+
+  /** The memoized cluster-assignment table shared by [[semDedup]] and
+    * [[d4Diversity]]: planted corpus + norm + trained-centroid id +
+    * squared centroid distance (the left-to-right fold both the oracle
+    * and the plain-Scala [[distSq]] twin reproduce bit-exactly).
+    */
+  private[textops] def assignTable(spark: SparkSession, sfDir: String): DataFrame = {
     val cb = trainedCentroids(spark, sfDir)
     val cbLit = typedLit(cb.map(_.toSeq))
-    val nv = SessionMemo(spark, s"$sfDir#semdedup-assign") {
+    SessionMemo(spark, s"$sfDir#semdedup-assign") {
       Similarity.plantedCorpus(spark, sfDir)
         .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
         .withColumn("cid", ivfAssign(col("e"), cb))
@@ -234,11 +249,19 @@ object Ivf {
           aggregate(zip_with(col("e"), element_at(cbLit, col("cid") + 1),
             (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
     }
+  }
+
+  /** SemDeDup dropped set: ids with a same-cluster near-identical
+    * neighbor that wins the keeper rule (farther from the centroid, id
+    * tiebreak). Keyed equi-join on the cluster id, id-dedup BEFORE any
+    * join-back — quadratic only within a cluster.
+    */
+  private[textops] def droppedIds(nv: DataFrame): DataFrame = {
     val x = nv.select(col("cid"), col("vec_id").as("id_x"), col("e").as("ex"),
       col("nrm").as("nx"), col("cdist").as("dx"))
     val y = nv.select(col("cid"), col("vec_id").as("id_y"), col("e").as("ey"),
       col("nrm").as("ny"), col("cdist").as("dy"))
-    val dropped = x.join(y, Seq("cid"))
+    x.join(y, Seq("cid"))
       .where(col("id_x") =!= col("id_y"))
       // y wins the keeper rule over x: farther from the centroid, id tiebreak
       .where(col("dy") > col("dx") ||
@@ -246,10 +269,40 @@ object Ivf {
       .where(round(dot(col("ex"), col("ey")) / (col("nx") * col("ny")), 6)
         >= SemDedupCosine)
       .select(col("id_x").as("vec_id")).distinct()
-    nv.join(dropped.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cid").as("cluster_id"),
-        coalesce(col("is_dup"), lit(false)).as("is_dup"))
-      .withColumn("keep", !col("is_dup"))
+  }
+
+  /** Fraction of each cluster's semantic-dedup SURVIVORS pruned as "most
+    * prototypical" (closest to the centroid) by [[d4Diversity]].
+    */
+  val ProtoFrac = 0.25
+
+  /** D4 diversification (Tirumala et al. 2023, "D4: Improving LLM
+    * Pretraining via Document De-Duplication and Diversification"): after
+    * SemDeDup removes near-identical copies, prune the most PROTOTYPICAL
+    * survivors — the [[ProtoFrac]] of each cluster sitting closest to its
+    * centroid (SSL-prototypes pruning), keeping the diverse tail. Ranking
+    * is (squared centroid distance asc, vec_id) so rank 1 is the most
+    * prototypical; a survivor keeps iff its rank exceeds
+    * floor(cluster_survivors × ProtoFrac).
+    *
+    * Scale shape: reuses [[semDedup]]'s memoized assignment table and
+    * dropped-id set (an anti-join on the deduped id list), then ONE
+    * window partitioned by cluster id — a hashpartitioning(cid) exchange,
+    * never SinglePartition; per-partition work is a sort of one cluster
+    * (bounded, since cluster count grows ~sqrt(N) at deployment). The
+    * DuckDB oracle replays the whole chain including codebook training.
+    */
+  def d4Diversity(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nv = assignTable(spark, sfDir)
+    val surv = nv.join(droppedIds(nv), Seq("vec_id"), "left_anti")
+    val rankW = Window.partitionBy("cid").orderBy(col("cdist").asc, col("vec_id").asc)
+    surv
+      .withColumn("proto_rank", row_number().over(rankW).cast("long"))
+      .withColumn("n_surv", count(lit(1)).over(Window.partitionBy("cid")))
+      .withColumn("keep", col("proto_rank") > floor(col("n_surv") * lit(ProtoFrac)))
+      .select(col("vec_id"), col("cid").as("cluster_id"), col("proto_rank"),
+        col("n_surv"), col("keep"))
       .orderBy("vec_id")
   }
 }

@@ -127,6 +127,46 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Keywords kept per document by [[tfidfKeywords]]. */
+  val TfidfTopK = 5
+
+  /** Top-[[TfidfTopK]] TF-IDF keywords per document: term frequency from
+    * one word explode + (doc_id, word) aggregate, document frequency from
+    * a second aggregate over that table (each (doc, word) row is already
+    * distinct, so `count(*)` IS the doc count), smoothed idf
+    * `ln((N+1)/(df+1))` (non-negative since df <= N), score in micro
+    * units (`round(1e6·tf·idf)` as BIGINT — the library's cross-engine
+    * float-determinism convention), per-doc rank by (score desc, word).
+    *
+    * Scale shape: three keyed exchanges, all on small rows — tf and the
+    * rank window partition on doc_id, df and the tf⇄df join on word; both
+    * aggregates are map-side combinable and no shuffle ever carries the
+    * document text (only single words). N is one bounded scalar count.
+    * At deployment the df table is vocabulary-sized — AQE broadcasts it
+    * when it fits, the word-keyed shuffle join handles it when it
+    * doesn't; either way cost is independent of document length skew
+    * because rows are (word, count) pairs.
+    */
+  def tfidfKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = loadDocs(spark, sfDir)
+    val nDocs = d.count() // bounded single-row aggregate
+    val tf = d.select(d("doc_id"), explode(nonEmptyWords(d("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score_micro"), col("word"))
+    tf.join(dfT, Seq("word"))
+      .withColumn("score_micro",
+        round(lit(1e6) * col("tf").cast("double") *
+          log(lit(nDocs.toDouble + 1.0) / (col("df").cast("double") + lit(1.0))))
+          .cast("long"))
+      .withColumn("kw_rank", row_number().over(w).cast("long"))
+      .where(col("kw_rank") <= TfidfTopK)
+      .select(col("doc_id"), col("kw_rank"), col("word"), col("tf"), col("df"),
+        col("score_micro"))
+      .orderBy("doc_id", "kw_rank")
+  }
+
   /** Frozen Gopher-rule thresholds for [[gopherRules]] (Rae et al. 2021,
     * §A.1.1: mean word length in [3,10], symbol-to-word ratio <= 0.1 for
     * '#'/'...', >= 80% of words contain an alphabetic character, >= 2

@@ -1432,10 +1432,14 @@ ORDER BY doc_id"""
     * cosine, drop when a near-identical neighbor is farther from the
     * centroid (id tiebreak).
     */
-  val semDedup: String = {
+  /** Shared CTE chain for the SemDeDup family ([[semDedup]],
+    * [[d4Diversity]]): trained-IVF assignment of the planted corpus
+    * (`assign`: vec_id, cid, d) and the dropped near-dup set (`dropped`).
+    */
+  private lazy val semDedupCtes: String = {
     import graft.textops.Ivf
     val D = graft.textops.Similarity.Dim
-    s"""WITH $embCte,
+    s"""$embCte,
 $ivfTrainedCte,
 $plantedCorpusCte,
 nv AS (SELECT vec_id, v, ${duckNorm("v")} AS nrm FROM corpus),
@@ -1455,10 +1459,63 @@ dropped AS (
   JOIN nv nx ON nx.vec_id = x.vec_id
   JOIN nv ny ON ny.vec_id = y.vec_id
   WHERE (y.d > x.d OR (y.d = x.d AND y.vec_id < x.vec_id))
-    AND round(${duckDot("nx.v", "ny.v")} / (nx.nrm * ny.nrm), 6) >= ${Ivf.SemDedupCosine})
+    AND round(${duckDot("nx.v", "ny.v")} / (nx.nrm * ny.nrm), 6) >= ${Ivf.SemDedupCosine})"""
+  }
+
+  val semDedup: String =
+    s"""WITH $semDedupCtes
 SELECT a.vec_id, a.cid AS cluster_id,
   d.vec_id IS NOT NULL AS is_dup, d.vec_id IS NULL AS keep
 FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
 ORDER BY a.vec_id"""
+
+  /** D4 diversification (mirrors [[graft.textops.Ivf.d4Diversity]]):
+    * SemDeDup survivors ranked per cluster by (centroid distance, id);
+    * keep iff rank > floor(survivors × ProtoFrac).
+    */
+  val d4Diversity: String = {
+    import graft.textops.Ivf
+    s"""WITH $semDedupCtes,
+surv AS (
+  SELECT a.vec_id, a.cid, a.d
+  FROM assign a LEFT JOIN dropped dr ON dr.vec_id = a.vec_id
+  WHERE dr.vec_id IS NULL),
+r AS (
+  SELECT vec_id, cid,
+    CAST(row_number() OVER (PARTITION BY cid ORDER BY d, vec_id) AS BIGINT) AS proto_rank,
+    count(*) OVER (PARTITION BY cid) AS n_surv
+  FROM surv)
+SELECT vec_id, cid AS cluster_id, proto_rank, n_surv,
+  proto_rank > CAST(floor(n_surv * ${Ivf.ProtoFrac}) AS BIGINT) AS keep
+FROM r ORDER BY vec_id"""
   }
+
+  /** Top-k TF-IDF keywords (mirrors
+    * [[graft.textops.TextAnalysis.tfidfKeywords]]): tf from the exploded
+    * word table, df from the distinct (doc, word) table, smoothed
+    * `ln((N+1)/(df+1))` idf in micro units, per-doc (score desc, word)
+    * rank. Operand order matches the Spark side exactly
+    * (1e6 · tf · ln(...), left-associative).
+    */
+  val tfidfKeywords: String =
+    s"""WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM documents
+), tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY doc_id, word
+), df AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
+), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+    CAST(round(1000000.0 * CAST(tf.tf AS DOUBLE)
+      * ln((n.n + 1.0) / (CAST(df.df AS DOUBLE) + 1.0))) AS BIGINT) AS score_micro
+  FROM tf JOIN df USING (word) CROSS JOIN n
+), r AS (
+  SELECT doc_id, word, tf, df, score_micro,
+    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, word) AS BIGINT) AS kw_rank
+  FROM s)
+SELECT doc_id, kw_rank, word, tf, df, score_micro
+FROM r WHERE kw_rank <= ${graft.textops.TextAnalysis.TfidfTopK}
+ORDER BY doc_id, kw_rank"""
 }

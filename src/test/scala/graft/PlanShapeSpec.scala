@@ -239,6 +239,37 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(count(phys, "rangepartitioning") <= 1, s"\n$phys")
   }
 
+  test("tfidf: doc/word-keyed exchanges only, no text in shuffles") {
+    val df = graft.textops.TextAnalysis.tfidfKeywords(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    // tf + the rank window key on doc_id, df + the tf<->df join on word;
+    // the document text is consumed by the explode before any exchange
+    assert(count(phys, "hashpartitioning(doc_id") >= 1, s"\n$phys")
+    assert(count(phys, "hashpartitioning(word") >= 1, s"\n$phys")
+    assert(count(phys, "SinglePartition") === 0, s"\n$phys")
+    assert(count(phys, "rangepartitioning") <= 1, s"\n$phys")
+    assert(!phys.contains("CartesianProduct"), s"\n$phys")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    df.queryExecution.executedPlan.foreach {
+      case e: ShuffleExchangeExec =>
+        assert(!e.output.exists(_.name == "text"), s"text in shuffle: ${e.output}")
+      case _ =>
+    }
+  }
+
+  test("embed_diversity: cid-keyed window over the shared assign table") {
+    val df = graft.textops.Ivf.d4Diversity(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    // the memoized assignment table feeds the anti-join and the window;
+    // prototype ranking partitions on the cluster id, never globally
+    assert(count(phys, "InMemoryTableScan") >= 2, s"\n$phys")
+    assert(count(phys, "hashpartitioning(cid") >= 1, s"\n$phys")
+    assert(count(phys, "SinglePartition") === 0, s"\n$phys")
+    assert(count(phys, "rangepartitioning") <= 1, s"\n$phys")
+    assert(!phys.contains("CartesianProduct"), s"\n$phys")
+    assert(!phys.contains("BroadcastNestedLoopJoin"), s"\n$phys")
+  }
+
   test("ensemble filter: shared tag table, keyed keeper agg, no window") {
     val df = graft.textops.Corpus.filterEnsemble(spark, sf)
     val phys = df.queryExecution.executedPlan.toString

@@ -40,23 +40,30 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
     round6(d / (math.sqrt(na) * math.sqrt(nb)))
   }
 
-  test("dedup_semantic matches the brute-force cluster + keeper rule") {
+  /** Brute-force twins of the cluster assignment and the SemDeDup dropped
+    * set, shared by the dedup and D4-diversity tests.
+    */
+  private lazy val assign: Map[Long, (Int, Double)] = {
     val cb = Ivf.trainedCentroids(spark, sf)
-    val assign = corpus.map { case (id, v) =>
+    corpus.map { case (id, v) =>
       val cid = Ivf.nearestLists(cb, v, 1).head
       id -> (cid, Ivf.distSq(v, cb(cid)))
     }
-    val byCluster = corpus.keys.groupBy(id => assign(id)._1)
-    val expectedDrop = corpus.keys.filter { x =>
-      val (cx, dx) = assign(x)
-      byCluster(cx).exists { y =>
-        y != x && {
-          val dy = assign(y)._2
-          (dy > dx || (dy == dx && y < x)) &&
-            cos(corpus(x), corpus(y)) >= Ivf.SemDedupCosine
-        }
+  }
+  private lazy val byCluster: Map[Int, Iterable[Long]] =
+    corpus.keys.groupBy(id => assign(id)._1)
+  private lazy val expectedDrop: Set[Long] = corpus.keys.filter { x =>
+    val (cx, dx) = assign(x)
+    byCluster(cx).exists { y =>
+      y != x && {
+        val dy = assign(y)._2
+        (dy > dx || (dy == dx && y < x)) &&
+          cos(corpus(x), corpus(y)) >= Ivf.SemDedupCosine
       }
-    }.toSet
+    }
+  }.toSet
+
+  test("dedup_semantic matches the brute-force cluster + keeper rule") {
 
     val rows = Ivf.semDedup(spark, sf).collect()
     assert(rows.length === corpus.size)
@@ -89,5 +96,34 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
       }
     }
     assert(resolved > 0, "some planted pair must land in one cluster")
+  }
+
+  test("embed_diversity keeps exactly the survivors ranked past floor(n*ProtoFrac)") {
+    val survByCluster = corpus.keys.filterNot(expectedDrop).groupBy(id => assign(id)._1)
+    val expected: Map[Long, (Long, Long, Boolean)] = survByCluster.flatMap {
+      case (_, ids) =>
+        val sorted = ids.toSeq.sortBy(id => (assign(id)._2, id))
+        val n = sorted.size.toLong
+        val cut = math.floor(n * Ivf.ProtoFrac).toLong
+        sorted.zipWithIndex.map { case (id, i) =>
+          id -> ((i + 1).toLong, n, (i + 1).toLong > cut)
+        }
+    }
+    val rows = Ivf.d4Diversity(spark, sf).collect()
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val (rank, n, keep) = expected(id)
+      assert(r.getAs[Int]("cluster_id") === assign(id)._1, s"vec $id")
+      assert(r.getAs[Long]("proto_rank") === rank, s"vec $id")
+      assert(r.getAs[Long]("n_surv") === n, s"vec $id")
+      assert(r.getAs[Boolean]("keep") === keep, s"vec $id")
+    }
+    // the prune is real (some prototype dropped) but never empties a cluster
+    assert(expected.values.exists(!_._3), "some prototype must be pruned")
+    survByCluster.keys.foreach { cid =>
+      assert(expected.exists { case (id, (_, _, k)) => k && assign(id)._1 == cid },
+        s"cluster $cid emptied")
+    }
   }
 }

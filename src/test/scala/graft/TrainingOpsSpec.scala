@@ -277,4 +277,56 @@ class TrainingOpsSpec extends AnyFunSuite with SparkSpec {
     // the cut must separate: both classes present on the fixture corpus
     assert(kept > 0 && kept < rows.length)
   }
+
+  /** UTF-8 byte order — the collation Spark (UTF8String) and DuckDB agree
+    * on; the JVM's String compareTo (UTF-16 units) differs for
+    * supplementary characters, so the reference must not use it.
+    */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  test("tfidf keywords match the brute-force tf-idf reference") {
+    val n = docs.size
+    val tf: Map[Long, Map[String, Long]] = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).filter(_.nonEmpty).groupBy(identity)
+        .map { case (w, a) => w -> a.length.toLong }
+    }
+    val dfm = new scala.collection.mutable.HashMap[String, Long]
+    tf.values.foreach(_.keys.foreach(w => dfm(w) = dfm.getOrElse(w, 0L) + 1))
+    def scoreMicro(tfv: Long, dfv: Long): Long =
+      BigDecimal(1e6 * tfv.toDouble * math.log((n + 1.0) / (dfv + 1.0)))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expected: Map[Long, Seq[(String, Long, Long, Long)]] = tf.collect {
+      case (id, m) if m.nonEmpty =>
+        id -> m.toSeq.map { case (w, c) => (w, c, dfm(w), scoreMicro(c, dfm(w))) }
+          .sortWith((p, q) => p._4 > q._4 || (p._4 == q._4 && utf8Lt(p._1, q._1)))
+          .take(TextAnalysis.TfidfTopK)
+    }
+    val rows = TextAnalysis.tfidfKeywords(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet === expected.keySet)
+    byDoc.foreach { case (id, rs) =>
+      val got = rs.sortBy(_.getAs[Long]("kw_rank")).map(r =>
+        (r.getAs[String]("word"), r.getAs[Long]("tf"), r.getAs[Long]("df"),
+          r.getAs[Long]("score_micro"))).toSeq
+      assert(got === expected(id), s"doc $id")
+      assert(rs.map(_.getAs[Long]("kw_rank")).sorted.toSeq ===
+        (1L to got.length.toLong), s"doc $id")
+    }
+    // idf must discriminate: some doc's top keyword is NOT its most
+    // frequent word (a corpus-wide-common word outscored by a rarer one)
+    val discriminated = expected.exists { case (id, kws) =>
+      val maxTf = tf(id).values.max
+      kws.head._2 < maxTf
+    }
+    assert(discriminated, "tf-idf never outranked raw tf — idf is vacuous")
+  }
 }
