@@ -167,6 +167,50 @@ object TextAnalysis {
       .orderBy("doc_id", "kw_rank")
   }
 
+  /** Frozen query terms for the [[searchRank]] driver query (a deployment
+    * parameterizes them; the driver contract needs a deterministic input).
+    */
+  val SearchTerms: Seq[String] = Seq("window", "merge", "stream")
+
+  /** Results returned by [[searchRank]]. */
+  val SearchTopK = 20
+
+  /** Ranked conjunctive keyword search: documents containing ALL
+    * [[SearchTerms]], ranked by the summed per-term TF-IDF score (same
+    * micro-unit formula as [[tfidfKeywords]] — integer sums, so ranking
+    * is bit-deterministic cross-engine).
+    *
+    * Scale shape: the term filter is a literal `word IN (...)` applied
+    * directly above the explode — only matching (doc_id, word) rows ever
+    * reach an exchange, so shuffle volume is bounded by the posting-list
+    * sizes of the query terms, not the corpus. The per-term df table has
+    * at most |terms| rows and is broadcast explicitly. The conjunctive
+    * AND is a doc-keyed count aggregate (map-side combined), the final
+    * top-k a TakeOrderedAndProject — no global sort. At deployment the
+    * (doc_id, word, tf) posting table is precomputed and bucketed by
+    * word, turning the IN filter into partition pruning — the classic
+    * inverted-index serving path.
+    */
+  def searchRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = loadDocs(spark, sfDir)
+    val nDocs = d.count() // bounded single-row aggregate
+    val tf = d.select(d("doc_id"), explode(nonEmptyWords(d("text"))).as("word"))
+      .where(col("word").isin(SearchTerms: _*))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfT), Seq("word"))
+      .withColumn("term_score",
+        round(lit(1e6) * col("tf").cast("double") *
+          log(lit(nDocs.toDouble + 1.0) / (col("df").cast("double") + lit(1.0))))
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("term_score")).as("score_micro"))
+      .where(col("n_terms") === SearchTerms.size)
+      .select(col("doc_id"), col("score_micro"))
+      .orderBy(desc("score_micro"), col("doc_id"))
+      .limit(SearchTopK)
+  }
+
   /** Frozen Gopher-rule thresholds for [[gopherRules]] (Rae et al. 2021,
     * §A.1.1: mean word length in [3,10], symbol-to-word ratio <= 0.1 for
     * '#'/'...', >= 80% of words contain an alphabetic character, >= 2

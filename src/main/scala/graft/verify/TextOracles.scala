@@ -1518,4 +1518,35 @@ s AS (
 SELECT doc_id, kw_rank, word, tf, df, score_micro
 FROM r WHERE kw_rank <= ${graft.textops.TextAnalysis.TfidfTopK}
 ORDER BY doc_id, kw_rank"""
+
+  /** Ranked conjunctive search (mirrors
+    * [[graft.textops.TextAnalysis.searchRank]]): docs containing ALL
+    * query terms, ranked by summed micro-unit TF-IDF (integer sum —
+    * order-independent), (score desc, doc_id) top-k.
+    */
+  val searchRank: String = {
+    import graft.textops.TextAnalysis
+    val terms = inList(TextAnalysis.SearchTerms)
+    s"""WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM documents
+), tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM w WHERE word IN ($terms) GROUP BY doc_id, word
+), df AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
+), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id,
+    CAST(round(1000000.0 * CAST(tf.tf AS DOUBLE)
+      * ln((n.n + 1.0) / (CAST(df.df AS DOUBLE) + 1.0))) AS BIGINT) AS term_score
+  FROM tf JOIN df USING (word) CROSS JOIN n
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+    CAST(sum(term_score) AS BIGINT) AS score_micro
+  FROM s GROUP BY doc_id)
+SELECT doc_id, score_micro
+FROM agg WHERE n_terms = ${TextAnalysis.SearchTerms.size}
+ORDER BY score_micro DESC, doc_id LIMIT ${TextAnalysis.SearchTopK}"""
+  }
 }

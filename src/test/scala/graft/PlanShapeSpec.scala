@@ -257,6 +257,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("text_search: literal term filter before any exchange, broadcast df, top-k") {
+    val df = graft.textops.TextAnalysis.searchRank(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    // only query-term rows shuffle; the |terms|-row df table broadcasts;
+    // the ranked head is a TakeOrderedAndProject, never a global sort
+    assert(phys.contains("TakeOrderedAndProject"), s"\n$phys")
+    assert(count(phys, "BroadcastHashJoin") >= 1, s"\n$phys")
+    assert(count(phys, "SinglePartition") === 0, s"\n$phys")
+    assert(count(phys, "rangepartitioning") === 0, s"\n$phys")
+    assert(!phys.contains("CartesianProduct"), s"\n$phys")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    df.queryExecution.executedPlan.foreach {
+      case e: ShuffleExchangeExec =>
+        assert(!e.output.exists(_.name == "text"), s"text in shuffle: ${e.output}")
+      case _ =>
+    }
+  }
+
   test("embed_diversity: cid-keyed window over the shared assign table") {
     val df = graft.textops.Ivf.d4Diversity(spark, sf)
     val phys = df.queryExecution.executedPlan.toString

@@ -329,4 +329,28 @@ class TrainingOpsSpec extends AnyFunSuite with SparkSpec {
     }
     assert(discriminated, "tf-idf never outranked raw tf — idf is vacuous")
   }
+
+  test("search rank matches the brute-force conjunctive tf-idf reference") {
+    val n = docs.size
+    val terms = TextAnalysis.SearchTerms.toSet
+    val tf: Map[Long, Map[String, Long]] = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).filter(w => w.nonEmpty && terms(w)).groupBy(identity)
+        .map { case (w, a) => w -> a.length.toLong }
+    }
+    val dfm: Map[String, Long] = terms.map(w =>
+      w -> tf.values.count(_.contains(w)).toLong).toMap
+    def scoreMicro(tfv: Long, dfv: Long): Long =
+      BigDecimal(1e6 * tfv.toDouble * math.log((n + 1.0) / (dfv + 1.0)))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expected = tf.collect {
+      case (id, m) if m.keySet == terms =>
+        id -> m.map { case (w, c) => scoreMicro(c, dfm(w)) }.sum
+    }.toSeq.sortBy { case (id, s) => (-s, id) }.take(TextAnalysis.SearchTopK)
+    val got = TextAnalysis.searchRank(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_micro")).toSeq
+    assert(got === expected)
+    // the conjunction must bite: strictly fewer matches than any single term
+    assert(expected.nonEmpty)
+    assert(tf.count(_._2.keySet == terms) < tf.count(_._2.nonEmpty))
+  }
 }
