@@ -149,22 +149,36 @@ object TextAnalysis {
     */
   def tfidfKeywords(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = loadDocs(spark, sfDir)
-    val nDocs = d.count() // bounded single-row aggregate
-    val tf = d.select(d("doc_id"), explode(nonEmptyWords(d("text"))).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score_micro"), col("word"))
-    tf.join(dfT, Seq("word"))
-      .withColumn("score_micro",
-        round(lit(1e6) * col("tf").cast("double") *
-          log(lit(nDocs.toDouble + 1.0) / (col("df").cast("double") + lit(1.0))))
-          .cast("long"))
+    scoredPostings(spark, sfDir, None)
       .withColumn("kw_rank", row_number().over(w).cast("long"))
       .where(col("kw_rank") <= TfidfTopK)
       .select(col("doc_id"), col("kw_rank"), col("word"), col("tf"), col("df"),
         col("score_micro"))
       .orderBy("doc_id", "kw_rank")
+  }
+
+  /** Shared (doc_id, word, tf, df, score_micro) posting construction for
+    * [[tfidfKeywords]] and [[searchRank]] — ONE definition of the frozen
+    * micro-unit score so the two queries (and their oracles, which share
+    * the twin CTE chain) cannot drift apart.
+    */
+  private def scoredPostings(spark: SparkSession, sfDir: String,
+      terms: Option[Seq[String]]): DataFrame = {
+    val d = loadDocs(spark, sfDir)
+    val nDocs = d.count() // bounded single-row aggregate
+    val words = d.select(d("doc_id"), explode(nonEmptyWords(d("text"))).as("word"))
+    val hits = terms.fold(words)(ts => words.where(col("word").isin(ts: _*)))
+    val tf = hits.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    // a term-filtered df table has at most |terms| rows: broadcast it
+    // outright; the unfiltered vocabulary table stays a keyed join (AQE
+    // broadcasts it when it fits)
+    tf.join(if (terms.isDefined) broadcast(dfT) else dfT, Seq("word"))
+      .withColumn("score_micro",
+        round(lit(1e6) * col("tf").cast("double") *
+          log(lit(nDocs.toDouble + 1.0) / (col("df").cast("double") + lit(1.0))))
+          .cast("long"))
   }
 
   /** Frozen query terms for the [[searchRank]] driver query (a deployment
@@ -192,19 +206,9 @@ object TextAnalysis {
     * inverted-index serving path.
     */
   def searchRank(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = loadDocs(spark, sfDir)
-    val nDocs = d.count() // bounded single-row aggregate
-    val tf = d.select(d("doc_id"), explode(nonEmptyWords(d("text"))).as("word"))
-      .where(col("word").isin(SearchTerms: _*))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfT), Seq("word"))
-      .withColumn("term_score",
-        round(lit(1e6) * col("tf").cast("double") *
-          log(lit(nDocs.toDouble + 1.0) / (col("df").cast("double") + lit(1.0))))
-          .cast("long"))
+    scoredPostings(spark, sfDir, Some(SearchTerms))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_terms"), sum(col("term_score")).as("score_micro"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("score_micro")).as("score_micro"))
       .where(col("n_terms") === SearchTerms.size)
       .select(col("doc_id"), col("score_micro"))
       .orderBy(desc("score_micro"), col("doc_id"))

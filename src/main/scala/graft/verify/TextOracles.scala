@@ -1497,12 +1497,19 @@ FROM r ORDER BY vec_id"""
     * rank. Operand order matches the Spark side exactly
     * (1e6 · tf · ln(...), left-associative).
     */
-  val tfidfKeywords: String =
-    s"""WITH w AS (
+  /** Shared w/tf/df/n/s CTE chain for [[tfidfKeywords]] and
+    * [[searchRank]] — ONE definition of the frozen micro-unit score
+    * (the twin of `TextAnalysis.scoredPostings`). `termFilter` is an
+    * optional `WHERE` predicate over `word` applied before the tf
+    * aggregate (empty string = the full vocabulary).
+    */
+  private def tfidfCtes(termFilter: String): String =
+    s"""w AS (
   SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
   FROM documents
 ), tf AS (
-  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY doc_id, word
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM w $termFilter GROUP BY doc_id, word
 ), df AS (
   SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
 ), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
@@ -1510,8 +1517,11 @@ s AS (
   SELECT tf.doc_id, tf.word, tf.tf, df.df,
     CAST(round(1000000.0 * CAST(tf.tf AS DOUBLE)
       * ln((n.n + 1.0) / (CAST(df.df AS DOUBLE) + 1.0))) AS BIGINT) AS score_micro
-  FROM tf JOIN df USING (word) CROSS JOIN n
-), r AS (
+  FROM tf JOIN df USING (word) CROSS JOIN n)"""
+
+  val tfidfKeywords: String =
+    s"""WITH ${tfidfCtes("")},
+r AS (
   SELECT doc_id, word, tf, df, score_micro,
     CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, word) AS BIGINT) AS kw_rank
   FROM s)
@@ -1527,23 +1537,10 @@ ORDER BY doc_id, kw_rank"""
   val searchRank: String = {
     import graft.textops.TextAnalysis
     val terms = inList(TextAnalysis.SearchTerms)
-    s"""WITH w AS (
-  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
-  FROM documents
-), tf AS (
-  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
-  FROM w WHERE word IN ($terms) GROUP BY doc_id, word
-), df AS (
-  SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
-), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
-s AS (
-  SELECT tf.doc_id,
-    CAST(round(1000000.0 * CAST(tf.tf AS DOUBLE)
-      * ln((n.n + 1.0) / (CAST(df.df AS DOUBLE) + 1.0))) AS BIGINT) AS term_score
-  FROM tf JOIN df USING (word) CROSS JOIN n
-), agg AS (
+    s"""WITH ${tfidfCtes(s"WHERE word IN ($terms)")},
+agg AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-    CAST(sum(term_score) AS BIGINT) AS score_micro
+    CAST(sum(score_micro) AS BIGINT) AS score_micro
   FROM s GROUP BY doc_id)
 SELECT doc_id, score_micro
 FROM agg WHERE n_terms = ${TextAnalysis.SearchTerms.size}

@@ -15,6 +15,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
   private def optimized(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.optimizedPlan.toString
 
+  /** AQE (on by default in Spark 4) wraps executedPlan in an
+    * AdaptiveSparkPlanExec, which is a LEAF node — a typed foreach over
+    * executedPlan visits ONLY the wrapper and silently skips every
+    * Exchange. Unwrap to the initial physical plan so shuffle-content
+    * assertions actually visit the shuffles, and fail loudly if the
+    * traversal saw none.
+    */
+  private def assertNoTextInShuffles(df: org.apache.spark.sql.DataFrame,
+      forbidden: Set[String] = Set("text")): Unit = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = df.queryExecution.executedPlan match {
+      // initialPlan, not inputPlan: exchanges are inserted by the
+      // preparation rules (EnsureRequirements), which inputPlan predates
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    var shuffles = 0
+    plan.foreach {
+      case e: ShuffleExchangeExec =>
+        shuffles += 1
+        assert(!e.output.exists(a => forbidden(a.name)),
+          s"forbidden column in shuffle: ${e.output}")
+      case _ =>
+    }
+    assert(shuffles > 0, "no ShuffleExchangeExec visited - vacuous traversal")
+  }
+
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
 
@@ -163,13 +191,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!phys.contains("rangepartitioning"), s"\n$phys")
     // document text must not ride any exchange: every shuffle output is
     // hashes/counts (the only text-bearing node is the scan projection)
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    df.queryExecution.executedPlan.foreach {
-      case e: ShuffleExchangeExec =>
-        assert(!e.output.exists(a => a.name == "text" || a.name == "pr"),
-          s"text in shuffle: ${e.output}")
-      case _ =>
-    }
+    assertNoTextInShuffles(df, Set("text", "pr"))
   }
 
   test("ppl buckets: histogram cutoffs, lang-keyed window on the tiny hist only") {
@@ -199,12 +221,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     // only the output orderBy sorts globally; no cartesian anywhere
     assert(count(phys, "rangepartitioning") <= 1, s"\n$phys")
     assert(!phys.contains("CartesianProduct"), s"\n$phys")
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    df.queryExecution.executedPlan.foreach {
-      case e: ShuffleExchangeExec =>
-        assert(!e.output.exists(_.name == "text"), s"text in shuffle: ${e.output}")
-      case _ =>
-    }
+    assertNoTextInShuffles(df)
   }
 
   test("incremental dedup: hash-keyed signature join, no window, no text in shuffles") {
@@ -218,12 +235,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(count(phys, "SinglePartition") === 0, s"\n$phys")
     assert(!phys.contains("Window"), s"\n$phys")
     assert(count(phys, "rangepartitioning") <= 1, s"\n$phys")
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    df.queryExecution.executedPlan.foreach {
-      case e: ShuffleExchangeExec =>
-        assert(!e.output.exists(_.name == "text"), s"text in shuffle: ${e.output}")
-      case _ =>
-    }
+    assertNoTextInShuffles(df)
   }
 
   test("semdedup: memoized assign table, keyed pair join, no cartesian") {
@@ -249,12 +261,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(count(phys, "SinglePartition") === 0, s"\n$phys")
     assert(count(phys, "rangepartitioning") <= 1, s"\n$phys")
     assert(!phys.contains("CartesianProduct"), s"\n$phys")
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    df.queryExecution.executedPlan.foreach {
-      case e: ShuffleExchangeExec =>
-        assert(!e.output.exists(_.name == "text"), s"text in shuffle: ${e.output}")
-      case _ =>
-    }
+    assertNoTextInShuffles(df)
   }
 
   test("text_search: literal term filter before any exchange, broadcast df, top-k") {
@@ -267,12 +274,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(count(phys, "SinglePartition") === 0, s"\n$phys")
     assert(count(phys, "rangepartitioning") === 0, s"\n$phys")
     assert(!phys.contains("CartesianProduct"), s"\n$phys")
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    df.queryExecution.executedPlan.foreach {
-      case e: ShuffleExchangeExec =>
-        assert(!e.output.exists(_.name == "text"), s"text in shuffle: ${e.output}")
-      case _ =>
-    }
+    assertNoTextInShuffles(df)
   }
 
   test("embed_diversity: cid-keyed window over the shared assign table") {

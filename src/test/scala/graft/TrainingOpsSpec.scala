@@ -349,8 +349,10 @@ class TrainingOpsSpec extends AnyFunSuite with SparkSpec {
     val got = TextAnalysis.searchRank(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_micro")).toSeq
     assert(got === expected)
-    // the conjunction must bite: strictly fewer matches than any single term
+    // the conjunction must bite: strictly fewer matches than the RAREST
+    // single term's posting list (else search degenerates to a term scan)
     assert(expected.nonEmpty)
-    assert(tf.count(_._2.keySet == terms) < tf.count(_._2.nonEmpty))
+    val minPosting = TextAnalysis.SearchTerms.map(t => tf.count(_._2.contains(t))).min
+    assert(tf.count(_._2.keySet == terms) < minPosting)
   }
 }
