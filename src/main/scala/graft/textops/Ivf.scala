@@ -225,7 +225,7 @@ object Ivf {
     */
   def semDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val nv = assignTable(spark, sfDir)
-    val dropped = droppedIds(nv)
+    val dropped = droppedIds(spark, sfDir)
     nv.join(dropped.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid").as("cluster_id"),
         coalesce(col("is_dup"), lit(false)).as("is_dup"))
@@ -254,22 +254,26 @@ object Ivf {
   /** SemDeDup dropped set: ids with a same-cluster near-identical
     * neighbor that wins the keeper rule (farther from the centroid, id
     * tiebreak). Keyed equi-join on the cluster id, id-dedup BEFORE any
-    * join-back — quadratic only within a cluster.
+    * join-back — quadratic only within a cluster. Memoized: the pair
+    * join is the dominant SemDeDup cost, and both [[semDedup]] and
+    * [[d4Diversity]] consume this (tiny) id set.
     */
-  private[textops] def droppedIds(nv: DataFrame): DataFrame = {
-    val x = nv.select(col("cid"), col("vec_id").as("id_x"), col("e").as("ex"),
-      col("nrm").as("nx"), col("cdist").as("dx"))
-    val y = nv.select(col("cid"), col("vec_id").as("id_y"), col("e").as("ey"),
-      col("nrm").as("ny"), col("cdist").as("dy"))
-    x.join(y, Seq("cid"))
-      .where(col("id_x") =!= col("id_y"))
-      // y wins the keeper rule over x: farther from the centroid, id tiebreak
-      .where(col("dy") > col("dx") ||
-        (col("dy") === col("dx") && col("id_y") < col("id_x")))
-      .where(round(dot(col("ex"), col("ey")) / (col("nx") * col("ny")), 6)
-        >= SemDedupCosine)
-      .select(col("id_x").as("vec_id")).distinct()
-  }
+  private[graft] def droppedIds(spark: SparkSession, sfDir: String): DataFrame =
+    SessionMemo(spark, s"$sfDir#semdedup-dropped") {
+      val nv = assignTable(spark, sfDir)
+      val x = nv.select(col("cid"), col("vec_id").as("id_x"), col("e").as("ex"),
+        col("nrm").as("nx"), col("cdist").as("dx"))
+      val y = nv.select(col("cid"), col("vec_id").as("id_y"), col("e").as("ey"),
+        col("nrm").as("ny"), col("cdist").as("dy"))
+      x.join(y, Seq("cid"))
+        .where(col("id_x") =!= col("id_y"))
+        // y wins the keeper rule over x: farther from the centroid, id tiebreak
+        .where(col("dy") > col("dx") ||
+          (col("dy") === col("dx") && col("id_y") < col("id_x")))
+        .where(round(dot(col("ex"), col("ey")) / (col("nx") * col("ny")), 6)
+          >= SemDedupCosine)
+        .select(col("id_x").as("vec_id")).distinct()
+    }
 
   /** Fraction of each cluster's semantic-dedup SURVIVORS pruned as "most
     * prototypical" (closest to the centroid) by [[d4Diversity]].
@@ -295,7 +299,7 @@ object Ivf {
   def d4Diversity(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nv = assignTable(spark, sfDir)
-    val surv = nv.join(droppedIds(nv), Seq("vec_id"), "left_anti")
+    val surv = nv.join(droppedIds(spark, sfDir), Seq("vec_id"), "left_anti")
     val rankW = Window.partitionBy("cid").orderBy(col("cdist").asc, col("vec_id").asc)
     surv
       .withColumn("proto_rank", row_number().over(rankW).cast("long"))

@@ -1427,11 +1427,6 @@ SELECT g.doc_id, g.keep AS gopher_keep, c.keep AS clf_keep,
 FROM g JOIN c USING (doc_id) JOIN l USING (doc_id) JOIN e USING (doc_id)
 ORDER BY doc_id"""
 
-  /** SemDeDup (mirrors [[graft.textops.Ivf.semDedup]]): trained-IVF
-    * cluster assignment of the planted corpus, within-cluster pairwise
-    * cosine, drop when a near-identical neighbor is farther from the
-    * centroid (id tiebreak).
-    */
   /** Shared CTE chain for the SemDeDup family ([[semDedup]],
     * [[d4Diversity]]): trained-IVF assignment of the planted corpus
     * (`assign`: vec_id, cid, d) and the dropped near-dup set (`dropped`).
@@ -1462,6 +1457,11 @@ dropped AS (
     AND round(${duckDot("nx.v", "ny.v")} / (nx.nrm * ny.nrm), 6) >= ${Ivf.SemDedupCosine})"""
   }
 
+  /** SemDeDup (mirrors [[graft.textops.Ivf.semDedup]]): trained-IVF
+    * cluster assignment of the planted corpus, within-cluster pairwise
+    * cosine, drop when a near-identical neighbor is farther from the
+    * centroid (id tiebreak).
+    */
   val semDedup: String =
     s"""WITH $semDedupCtes
 SELECT a.vec_id, a.cid AS cluster_id,

@@ -238,17 +238,29 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assertNoTextInShuffles(df)
   }
 
-  test("semdedup: memoized assign table, keyed pair join, no cartesian") {
+  test("semdedup: memoized assign + dropped tables, keyed join, no cartesian") {
     val df = graft.textops.Ivf.semDedup(spark, sf)
     val phys = df.queryExecution.executedPlan.toString
-    // the assignment table (kernel assign + centroid distance) is built
-    // once and shared by both pair sides and the verdict join-back
-    assert(count(phys, "InMemoryTableScan") >= 3, s"\n$phys")
-    // pair generation is an equi-join on the cluster id — never a product
+    // the verdict join-back reads TWO caches: the assignment table and
+    // the memoized dropped-id set (whose quadratic pair join — an
+    // equi-join on the cluster id, pinned by the dropped-table test
+    // below — runs once per session, shared with embed_diversity)
+    assert(count(phys, "InMemoryTableScan") >= 2, s"\n$phys")
     assert(!phys.contains("CartesianProduct"), s"\n$phys")
     assert(!phys.contains("BroadcastNestedLoopJoin"), s"\n$phys")
     assert(count(phys, "SinglePartition") === 0, s"\n$phys")
     assert(count(phys, "rangepartitioning") <= 1, s"\n$phys")
+  }
+
+  test("semdedup dropped set: cid-keyed pair join over the shared assign table") {
+    val df = graft.textops.Ivf.droppedIds(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    // both pair sides read the cached assignment table; pair generation
+    // is an equi-join on the cluster id — never a product
+    assert(count(phys, "InMemoryTableScan") >= 2, s"\n$phys")
+    assert(!phys.contains("CartesianProduct"), s"\n$phys")
+    assert(!phys.contains("BroadcastNestedLoopJoin"), s"\n$phys")
+    assert(count(phys, "SinglePartition") === 0, s"\n$phys")
   }
 
   test("tfidf: doc/word-keyed exchanges only, no text in shuffles") {

@@ -119,11 +119,14 @@ class SemDedupSpec extends AnyFunSuite with SparkSpec {
       assert(r.getAs[Long]("n_surv") === n, s"vec $id")
       assert(r.getAs[Boolean]("keep") === keep, s"vec $id")
     }
-    // the prune is real (some prototype dropped) but never empties a cluster
-    assert(expected.values.exists(!_._3), "some prototype must be pruned")
+    // the prune is real (some prototype dropped) but never empties a
+    // cluster — checked against the SPARK rows, not the reference map
+    // (floor(n*ProtoFrac) <= n-1 makes the reference trivially non-empty)
+    assert(rows.exists(r => !r.getAs[Boolean]("keep")), "some prototype must be pruned")
+    val keptClusters = rows.filter(_.getAs[Boolean]("keep"))
+      .map(_.getAs[Int]("cluster_id")).toSet
     survByCluster.keys.foreach { cid =>
-      assert(expected.exists { case (id, (_, _, k)) => k && assign(id)._1 == cid },
-        s"cluster $cid emptied")
+      assert(keptClusters(cid), s"cluster $cid emptied")
     }
   }
 }
