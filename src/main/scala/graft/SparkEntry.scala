@@ -88,6 +88,7 @@ object SparkEntry {
     "embed_diversity" -> ((s, dir) => graft.textops.Ivf.d4Diversity(s, dir)),
     "text_tfidf_keywords" -> ((s, dir) => graft.textops.TextAnalysis.tfidfKeywords(s, dir)),
     "text_search" -> ((s, dir) => graft.textops.TextAnalysis.searchRank(s, dir)),
+    "text_search_bm25" -> ((s, dir) => graft.textops.TextAnalysis.bm25Search(s, dir)),
     // asymmetric containment dedup (quote-inclusion / aggregator pages)
     "dedup_containment" -> ((s, dir) => graft.textops.Dedup.containment(s, dir)),
     // delta-vs-base incremental exact dedup (the daily-crawl shape)
@@ -178,6 +179,7 @@ SELECT doc_id, kind, text, media_ref, "offset" FROM synth ORDER BY doc_id, "offs
     "embed_diversity" -> graft.verify.TextOracles.d4Diversity,
     "text_tfidf_keywords" -> graft.verify.TextOracles.tfidfKeywords,
     "text_search" -> graft.verify.TextOracles.searchRank,
+    "text_search_bm25" -> graft.verify.TextOracles.bm25Search,
     "dedup_containment" -> graft.verify.TextOracles.containment,
     "dedup_incremental" -> graft.verify.TextOracles.incremental,
     "corpus_stats" -> graft.verify.TextOracles.corpusStats,

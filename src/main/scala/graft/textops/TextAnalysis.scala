@@ -158,15 +158,15 @@ object TextAnalysis {
       .orderBy("doc_id", "kw_rank")
   }
 
-  /** Shared (doc_id, word, tf, df, score_micro) posting construction for
-    * [[tfidfKeywords]] and [[searchRank]] — ONE definition of the frozen
-    * micro-unit score so the two queries (and their oracles, which share
-    * the twin CTE chain) cannot drift apart.
+  /** Shared (doc_id, word, tf, df) posting construction for the
+    * retrieval family ([[tfidfKeywords]], [[searchRank]],
+    * [[bm25Search]]) — ONE definition of tokenization, tf, and df so the
+    * queries (and their oracles, which share the twin CTE chain) cannot
+    * drift apart.
     */
-  private def scoredPostings(spark: SparkSession, sfDir: String,
+  private def postings(spark: SparkSession, sfDir: String,
       terms: Option[Seq[String]]): DataFrame = {
     val d = loadDocs(spark, sfDir)
-    val nDocs = d.count() // bounded single-row aggregate
     val words = d.select(d("doc_id"), explode(nonEmptyWords(d("text"))).as("word"))
     val hits = terms.fold(words)(ts => words.where(col("word").isin(ts: _*)))
     val tf = hits.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
@@ -175,6 +175,13 @@ object TextAnalysis {
     // outright; the unfiltered vocabulary table stays a keyed join (AQE
     // broadcasts it when it fits)
     tf.join(if (terms.isDefined) broadcast(dfT) else dfT, Seq("word"))
+  }
+
+  /** Postings + the frozen micro-unit smoothed-idf TF-IDF score. */
+  private def scoredPostings(spark: SparkSession, sfDir: String,
+      terms: Option[Seq[String]]): DataFrame = {
+    val nDocs = loadDocs(spark, sfDir).count() // bounded single-row aggregate
+    postings(spark, sfDir, terms)
       .withColumn("score_micro",
         round(lit(1e6) * col("tf").cast("double") *
           log(lit(nDocs.toDouble + 1.0) / (col("df").cast("double") + lit(1.0))))
@@ -209,6 +216,56 @@ object TextAnalysis {
     scoredPostings(spark, sfDir, Some(SearchTerms))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum(col("score_micro")).as("score_micro"))
+      .where(col("n_terms") === SearchTerms.size)
+      .select(col("doc_id"), col("score_micro"))
+      .orderBy(desc("score_micro"), col("doc_id"))
+      .limit(SearchTopK)
+  }
+
+  /** Frozen BM25 constants (Robertson/Spärck Jones; k1 in the standard
+    * 1.2-2.0 band, b the canonical 0.75). K1Plus1 and OneMinusB are their
+    * OWN decimal literals, not derived arithmetic: `1.2 + 1.0` and the
+    * literal `2.2` can differ in the last ulp, and the oracle embeds the
+    * literals — deriving them would un-pin the cross-engine equality.
+    */
+  val Bm25K1 = 1.2
+  val Bm25K1Plus1 = 2.2
+  val Bm25B = 0.75
+  val Bm25OneMinusB = 0.25
+
+  /** BM25-ranked conjunctive search over the same posting construction
+    * as [[searchRank]]: per-term score
+    * `idf_bm25 · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))` with
+    * `idf_bm25 = ln((N − df + 0.5)/(df + 0.5) + 1)` (the Lucene
+    * non-negative form), in micro units; documents containing ALL
+    * [[SearchTerms]], summed-score top-[[SearchTopK]].
+    *
+    * Scale shape: [[searchRank]]'s bounded-posting shuffle plus one
+    * doc-keyed equi-join from the postings to the per-doc length table
+    * (fixed-width rows, co-partitioned with the conjunction aggregate
+    * that follows). avgdl is ONE bounded scalar aggregate, computed as
+    * exact-integer-sum / count — a single IEEE division both engines
+    * agree on bit-exactly.
+    */
+  def bm25Search(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = loadDocs(spark, sfDir)
+    val nDocs = d.count() // bounded single-row aggregate
+    val lens = d.select(d("doc_id"),
+      size(nonEmptyWords(d("text"))).cast("long").as("dl"))
+    val t = lens.agg(sum(col("dl")).as("s"), count(lit(1)).as("c")).head()
+    val avgdl = t.getLong(0).toDouble / t.getLong(1)
+    val dlNorm = lit(Bm25OneMinusB) +
+      lit(Bm25B) * (col("dl").cast("double") / lit(avgdl))
+    val idf = log(
+      (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val tfn = (col("tf").cast("double") * lit(Bm25K1Plus1)) /
+      (col("tf").cast("double") + lit(Bm25K1) * dlNorm)
+    postings(spark, sfDir, Some(SearchTerms))
+      .join(lens, Seq("doc_id"))
+      .withColumn("term_score", round(lit(1e6) * idf * tfn).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("term_score")).as("score_micro"))
       .where(col("n_terms") === SearchTerms.size)
       .select(col("doc_id"), col("score_micro"))
       .orderBy(desc("score_micro"), col("doc_id"))

@@ -1546,4 +1546,38 @@ SELECT doc_id, score_micro
 FROM agg WHERE n_terms = ${TextAnalysis.SearchTerms.size}
 ORDER BY score_micro DESC, doc_id LIMIT ${TextAnalysis.SearchTopK}"""
   }
+
+  /** BM25-ranked conjunctive search (mirrors
+    * [[graft.textops.TextAnalysis.bm25Search]]): same posting CTEs,
+    * per-doc length table, exact-integer-sum/count avgdl, the Lucene
+    * non-negative idf, micro-unit per-term scores summed per doc.
+    * Every constant is the frozen literal from TextAnalysis (K1Plus1
+    * and OneMinusB are literals, never derived arithmetic) and every
+    * float expression mirrors the Spark operand order exactly.
+    */
+  val bm25Search: String = {
+    import graft.textops.TextAnalysis
+    val terms = inList(TextAnalysis.SearchTerms)
+    s"""WITH ${tfidfCtes(s"WHERE word IN ($terms)")},
+dl AS (
+  SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS dl
+  FROM documents
+), a AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+b AS (
+  SELECT tf.doc_id,
+    CAST(round(1000000.0
+      * ln((n.n - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+      * ((CAST(tf.tf AS DOUBLE) * ${TextAnalysis.Bm25K1Plus1})
+         / (CAST(tf.tf AS DOUBLE) + ${TextAnalysis.Bm25K1}
+            * (${TextAnalysis.Bm25OneMinusB} + ${TextAnalysis.Bm25B}
+               * (CAST(dl.dl AS DOUBLE) / a.avgdl))))) AS BIGINT) AS term_score
+  FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN a
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+    CAST(sum(term_score) AS BIGINT) AS score_micro
+  FROM b GROUP BY doc_id)
+SELECT doc_id, score_micro
+FROM agg WHERE n_terms = ${TextAnalysis.SearchTerms.size}
+ORDER BY score_micro DESC, doc_id LIMIT ${TextAnalysis.SearchTopK}"""
+  }
 }

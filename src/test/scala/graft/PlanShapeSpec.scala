@@ -289,6 +289,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assertNoTextInShuffles(df)
   }
 
+  test("bm25 search: doc-keyed length join, no global sort, no text in shuffles") {
+    val df = graft.textops.TextAnalysis.bm25Search(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    // searchRank's shape plus ONE doc-keyed equi-join to the fixed-width
+    // (doc_id, dl) length table; the ranked head stays a top-k
+    assert(phys.contains("TakeOrderedAndProject"), s"\n$phys")
+    assert(count(phys, "SinglePartition") === 0, s"\n$phys")
+    assert(count(phys, "rangepartitioning") === 0, s"\n$phys")
+    assert(!phys.contains("CartesianProduct"), s"\n$phys")
+    assert(!phys.contains("BroadcastNestedLoopJoin"), s"\n$phys")
+    assertNoTextInShuffles(df)
+  }
+
   test("embed_diversity: cid-keyed window over the shared assign table") {
     val df = graft.textops.Ivf.d4Diversity(spark, sf)
     val phys = df.queryExecution.executedPlan.toString

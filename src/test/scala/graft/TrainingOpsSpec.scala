@@ -355,4 +355,54 @@ class TrainingOpsSpec extends AnyFunSuite with SparkSpec {
     val minPosting = TextAnalysis.SearchTerms.map(t => tf.count(_._2.contains(t))).min
     assert(tf.count(_._2.keySet == terms) < minPosting)
   }
+
+  test("bm25 search matches the brute-force bm25 reference") {
+    val n = docs.size
+    val terms = TextAnalysis.SearchTerms.toSet
+    val allWords: Map[Long, Array[String]] =
+      docs.map { case (id, t) => id -> t.split(" ", -1).filter(_.nonEmpty) }
+    val dl: Map[Long, Long] = allWords.map { case (id, ws) => id -> ws.length.toLong }
+    val avgdl = dl.values.sum.toDouble / dl.size
+    val tf: Map[Long, Map[String, Long]] = allWords.map { case (id, ws) =>
+      id -> ws.filter(terms).groupBy(identity).map { case (w, a) => w -> a.length.toLong }
+    }
+    val dfm: Map[String, Long] = terms.map(w =>
+      w -> tf.values.count(_.contains(w)).toLong).toMap
+    // every float expression mirrors the Column operand order exactly
+    def termScore(tfv: Long, dfv: Long, dlv: Long): Long = {
+      val idf = math.log(
+        (n.toDouble - dfv.toDouble + 0.5) / (dfv.toDouble + 0.5) + 1.0)
+      val dlNorm = TextAnalysis.Bm25OneMinusB +
+        TextAnalysis.Bm25B * (dlv.toDouble / avgdl)
+      val tfn = (tfv.toDouble * TextAnalysis.Bm25K1Plus1) /
+        (tfv.toDouble + TextAnalysis.Bm25K1 * dlNorm)
+      BigDecimal(1e6 * idf * tfn)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val expected = tf.collect {
+      case (id, m) if m.keySet == terms =>
+        id -> m.map { case (w, c) => termScore(c, dfm(w), dl(id)) }.sum
+    }.toSeq.sortBy { case (id, s) => (-s, id) }.take(TextAnalysis.SearchTopK)
+    val got = TextAnalysis.bm25Search(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_micro")).toSeq
+    assert(got === expected)
+    // the ranking must discriminate (not a degenerate constant score),
+    // and length normalization must bite somewhere: the score is not a
+    // pure function of the tf vector
+    assert(expected.nonEmpty)
+    assert(expected.map(_._2).distinct.size > 1, "constant bm25 scores")
+    val full = tf.filter(_._2.keySet == terms)
+    val scoreOf = full.map { case (id, m) =>
+      id -> m.map { case (w, c) => termScore(c, dfm(w), dl(id)) }.sum
+    }
+    val tfCollision = full.groupBy(_._2).values
+      .exists(g => g.keys.map(scoreOf).toSet.size > 1)
+    val tfOrderBroken = full.toSeq.combinations(2).exists {
+      case Seq((a, ma), (b, mb)) =>
+        ma.values.sum == mb.values.sum && scoreOf(a) != scoreOf(b)
+      case _ => false
+    }
+    assert(tfCollision || tfOrderBroken,
+      "bm25 behaved as a pure tf function on this fixture")
+  }
 }
