@@ -113,6 +113,23 @@ object MediaFeatures {
       .as[MediaRef]
   }
 
+  /** Spread the FIXED-WIDTH ref rows across the session's configured
+    * shuffle parallelism before an expensive per-row decode (guide §8:
+    * decide/balance on small rows, pay the heavy compute in parallel).
+    * The rows are ~60 bytes each — the exchange is noise at any scale —
+    * while the codec work per row dwarfs it; without this the decode
+    * inherits the scan's split count (ONE task on a single-file input).
+    * The explicit count pins the layout against AQE's byte-based
+    * coalescing, which would fold KB-sized-but-CPU-heavy partitions
+    * back into one; the value is the session's shuffle-partition
+    * setting, so deployments keep their configured width (never a
+    * local constant).
+    */
+  private def spreadRefs(refs: Dataset[MediaRef]): Dataset[MediaRef] = {
+    val n = refs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    refs.repartition(n, col("doc_id"), col("offset"))
+  }
+
   /** Image spans of the EXTRACTED output → stub-decoded features
     * (`media_features` driver query).
     */
@@ -155,7 +172,7 @@ object MediaFeatures {
     */
   def decodeRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    imageRefs(spark, sfDir)
+    spreadRefs(imageRefs(spark, sfDir))
       .mapPartitions(_.map { r =>
         val w = 1 + (PortableHash.hexint32(r.media_ref + "#w") % 48L).toInt
         val h = 1 + (PortableHash.hexint32(r.media_ref + "#h") % 48L).toInt

@@ -71,7 +71,7 @@ object Corpus {
     */
   def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
     val d = TextAnalysis.loadDocs(spark, sfDir)
-    val toks = size(filter(split(d("text"), " "), w => w =!= "")).cast("long")
+    val toks = TextAnalysis.stNw(graft.textops.WordStats.stats(d("text")))
     val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     d.select(d("doc_id"), toks.as("n_tokens"))
       .withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))
@@ -129,7 +129,7 @@ object Corpus {
       orderCols: Seq[String] = Seq("doc_id"),
       tokens: Option[Column] = None): DataFrame = {
     val toks = tokens.getOrElse(
-      size(filter(split(col("text"), " "), w => w =!= "")).cast("long"))
+      TextAnalysis.stNw(graft.textops.WordStats.stats(col("text"))))
     val w = Window.partitionBy("shard").orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     df.select(col("doc_id") +: shard.as("shard") +: toks.as("n_tokens") +:
@@ -206,21 +206,22 @@ object Corpus {
     * `(doc_id, n_tokens, lang_guess, text_hash)`.
     */
   def tagDedupSample(d: DataFrame): DataFrame = {
-    // the word array is split ONCE in its own projection and every tag
-    // metric derives from it: CollapseProject re-inlines an alias
-    // referenced only once, and the previous single-projection shape
-    // evaluated the O(len) split ~7x per row (once per metric)
+    // the word-stats counter array computes ONCE in its own projection
+    // and every tag metric derives from it (round 6: the native
+    // WordStats kernel replaces the interpreted HOF passes; the staged
+    // alias keeps CollapseProject from re-inlining the non-cheap kernel
+    // per metric)
     val withWords = d.select(d("doc_id"), d("text"),
-      TextAnalysis.nonEmptyWords(d("text")).as("ws"))
+      graft.textops.WordStats.stats(d("text")).as("st"))
     // n_tokens is computed HERE, off the scan, so the document text
     // itself never enters a shuffle: the dedup exchange and the pack
     // window sort below carry only fixed-width columns (at 100 TB the
     // text payload would dominate the first shuffle otherwise)
     val tagged = withWords.select(
       col("doc_id"),
-      size(col("ws")).cast("long").as("n_tokens"),
-      TextAnalysis.langGuessFromWords(col("ws")).as("lang_guess"),
-      TextAnalysis.gopherKeepFromWords(col("text"), col("ws")).as("quality_keep"),
+      TextAnalysis.stNw(col("st")).as("n_tokens"),
+      TextAnalysis.langGuessFromStats(col("st")).as("lang_guess"),
+      TextAnalysis.gopherKeepFromStats(col("text"), col("st")).as("quality_keep"),
       PortableHash.hexint60(col("text")).as("text_hash"))
     // exact dedup as partial-aggregate + join-back, NOT a
     // `row_number() over (partition by text_hash)` window: the window
@@ -285,7 +286,7 @@ object Corpus {
     val tagged = SessionMemo(spark, s"$sfDir#mix-tagged") {
       val d = TextAnalysis.loadDocs(spark, sfDir)
       d.select(d("doc_id"), d("source"),
-        size(TextAnalysis.nonEmptyWords(d("text"))).cast("long").as("n_tokens"),
+        TextAnalysis.stNw(graft.textops.WordStats.stats(d("text"))).as("n_tokens"),
         mixHash(d("doc_id")).as("mix_h"))
     }
     val rates = SessionMemo(spark, s"$sfDir#mix-rates") { ratesCore(tagged) }
@@ -417,13 +418,13 @@ object Corpus {
   private[graft] def curateSurvivors(d: DataFrame, contaminated: DataFrame,
       materializeTags: DataFrame => DataFrame = identity): DataFrame = {
     val withW = d.select(d("doc_id"), d("source"), d("text"),
-      TextAnalysis.nonEmptyWords(d("text")).as("ws"),
+      graft.textops.WordStats.stats(d("text")).as("st"),
       TextAnalysis.repetitionFracs(d("text")).as("fracs"))
-    val f = TextAnalysis.clfFeatures(col("ws"), col("fracs"))
+    val f = TextAnalysis.clfFeaturesFromStats(col("st"), col("fracs"))
     val tagged = materializeTags(withW.select(
       col("doc_id"), col("source"),
-      size(col("ws")).cast("long").as("n_tokens"),
-      TextAnalysis.langGuessFromWords(col("ws")).as("lang_guess"),
+      TextAnalysis.stNw(col("st")).as("n_tokens"),
+      TextAnalysis.langGuessFromStats(col("st")).as("lang_guess"),
       PortableHash.hexint60(col("text")).as("text_hash"),
       TextAnalysis.clfScoreU8(f(0), f(1), f(2), f(3), f(4)).as("score_u8"),
       Decontam.isBenchmark(col("doc_id")).as("is_benchmark"),
@@ -483,12 +484,12 @@ object Corpus {
     val tagged = SessionMemo(spark, s"$sfDir#ensemble-tags") {
       val d = TextAnalysis.loadDocs(spark, sfDir)
       val withW = d.select(d("doc_id"), d("text"),
-        TextAnalysis.nonEmptyWords(d("text")).as("ws"),
+        graft.textops.WordStats.stats(d("text")).as("st"),
         TextAnalysis.repetitionFracs(d("text")).as("fracs"))
-      val f = TextAnalysis.clfFeatures(col("ws"), col("fracs"))
+      val f = TextAnalysis.clfFeaturesFromStats(col("st"), col("fracs"))
       withW.select(
         col("doc_id"),
-        TextAnalysis.gopherKeepFromWords(col("text"), col("ws")).as("gopher_keep"),
+        TextAnalysis.gopherKeepFromStats(col("text"), col("st")).as("gopher_keep"),
         (TextAnalysis.clfScoreU8(f(0), f(1), f(2), f(3), f(4))
           >= TextAnalysis.ClfCutC * 1000000L).as("clf_keep"),
         PortableHash.hexint60(col("text")).as("text_hash"))
@@ -513,8 +514,8 @@ object Corpus {
     // silently subtract from the sum), null n_chars counts 0
     d.select(coalesce(col("lang"), lit(StatsNull)).as("lang"),
         coalesce(col("source"), lit(StatsNull)).as("source"),
-        size(TextAnalysis.nonEmptyWords(coalesce(col("text"), lit(""))))
-          .cast("long").as("n_tokens"),
+        TextAnalysis.stNw(graft.textops.WordStats.stats(
+          coalesce(col("text"), lit("")))).as("n_tokens"),
         coalesce(col("n_chars"), lit(0L)).as("n_chars"))
       .cube("lang", "source")
       .agg(

@@ -364,9 +364,14 @@ object Dedup {
     * ([[graft.streaming.CleanStream]]).
     */
   private[graft] def dupParaKeepers(paraTable: DataFrame): DataFrame =
+    // ">= 2 distinct docs" as min != max (doc ids in a ph group):
+    // a countDistinct plans as a two-phase distinct aggregate (an extra
+    // (ph, doc_id) dedup stage before the count); min/max combine
+    // map-side in ONE partial aggregate — guide §2.3 — and min(doc_id)
+    // != max(doc_id) holds exactly when the group spans >= 2 docs
     explodedParas(paraTable).groupBy("ph")
-      .agg(countDistinct(col("doc_id")).as("n_docs"), min("doc_id").as("keeper_doc"))
-      .where(col("n_docs") >= 2).select("ph", "keeper_doc")
+      .agg(min("doc_id").as("keeper_doc"), max("doc_id").as("max_doc"))
+      .where(col("keeper_doc") =!= col("max_doc")).select("ph", "keeper_doc")
 
   /** Near-dup CLUSTERING — the step between pair detection and corpus
     * pruning: connected components over the verified MinHash+LSH pairs,
@@ -515,12 +520,19 @@ object Dedup {
     // container does NOT cover) but produce no cross pairs
     val rare = memoized(spark, s"$sfDir#containment-rare") {
       val rareGram = docGrams.groupBy("g").agg(count(lit(1)).as("n_docs"))
-        .where(col("n_docs") <= ContainmentGramDfMax).select("g")
+        .where(col("n_docs") <= ContainmentGramDfMax)
       docGrams.join(rareGram, Seq("g"))
     }
     val nRare = rare.groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
-    val a = rare.select(col("doc_id").as("id_contained"), col("g"))
-    val b = rare.select(col("doc_id").as("id_container"), col("g"))
+    // only grams SHARED by >= 2 docs can produce a cross pair (a df=1
+    // gram meets nothing but its own doc, which the id filter drops) —
+    // pre-filtering both join sides shrinks the pair-join input to the
+    // truly-shared grams (guide §2.3: shuffle fewer bytes; on a crawl
+    // where most rare grams are unique this drops most of the exchange)
+    // without changing a single output pair
+    val shared = rare.where(col("n_docs") >= 2)
+    val a = shared.select(col("doc_id").as("id_contained"), col("g"))
+    val b = shared.select(col("doc_id").as("id_container"), col("g"))
     val inter = a.join(b, Seq("g"))
       .where(col("id_contained") =!= col("id_container"))
       .groupBy("id_contained", "id_container")

@@ -72,17 +72,18 @@ object Dsir {
   private[graft] def selectFrom(spark: SparkSession, sfDir: String,
       f: DataFrame): DataFrame = {
 
-    val rawc = f.groupBy("b").agg(count(lit(1)).as("c_raw"))
-    val tgtc = f.where(col("lang") === TargetLang)
-      .groupBy("b").agg(count(lit(1)).as("c_tgt"))
-    // gram totals as a broadcast 1-row aggregate (stays in the plan)
-    val tot = f.agg(
-      count(lit(1)).as("t_raw"),
-      count(when(col("lang") === TargetLang, 1)).as("t_tgt"))
+    // raw + target bucket counts in ONE keyed aggregate (guide §2.4:
+    // the round-5 shape ran three separate aggregation passes over the
+    // feature table — rawc, tgtc, tot — each its own scan + exchange;
+    // a conditional count folds tgt into the raw pass, and the totals
+    // are exact integer sums over the 64-row bucket table itself)
+    val bc = f.groupBy("b").agg(
+      count(lit(1)).as("c_raw"),
+      count(when(col("lang") === TargetLang, 1)).as("c_tgt"))
+    val tot = bc.agg(sum("c_raw").as("t_raw"), sum("c_tgt").as("t_tgt"))
 
     val lam = spark.range(Buckets).select(col("id").as("b"))
-      .join(rawc, Seq("b"), "left")
-      .join(tgtc, Seq("b"), "left")
+      .join(bc, Seq("b"), "left")
       .crossJoin(broadcast(tot))
       .select(col("b"),
         round(lit(1e6) * (

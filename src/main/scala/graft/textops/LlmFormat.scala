@@ -211,12 +211,18 @@ object LlmFormat {
   def extractValuesQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val d = TextAnalysis.loadDocs(spark, sfDir)
-    val resp = syntheticKv(d)
-    d.select(d("doc_id"),
-      keyedExtract(resp, "name").as("name"),
-      keyedExtract(resp, "total").as("total"),
-      keyedExtract(resp, "date").as("date"),
-      keyedExtract(resp, "cnpj").as("cnpj"))
+    // stage the synthetic reply in its OWN projection: the four keyed
+    // batteries reference it up to 32 times (8 patterns x 4 keys), and
+    // inlined it re-materializes the concat+split chain inside every
+    // regexp_extract (the CollapseProject re-evaluation trap — a
+    // non-cheap alias referenced many times stays staged, so the reply
+    // builds ONCE per row)
+    val staged = d.select(d("doc_id"), syntheticKv(d).as("resp"))
+    staged.select(col("doc_id"),
+      keyedExtract(col("resp"), "name").as("name"),
+      keyedExtract(col("resp"), "total").as("total"),
+      keyedExtract(col("resp"), "date").as("date"),
+      keyedExtract(col("resp"), "cnpj").as("cnpj"))
       .orderBy("doc_id")
   }
 

@@ -27,6 +27,49 @@ object TextAnalysis {
   private def words(c: Column): Column = split(c, " ")
   private[graft] def nonEmptyWords(c: Column): Column = filter(words(c), w => w =!= "")
 
+  // --- word-stats kernel accessors (round 6) ---
+  // The five raw counters of [[WordStats.stats]]; every ratio/threshold
+  // below computes from these EXACT integers through the same Catalyst
+  // float expressions as the round-5 HOF forms, so values (and the
+  // DuckDB oracle) are untouched while the O(words) interpreted lambda
+  // passes collapse into one native pass per row.
+  private[textops] def stNw(st: Column): Column = element_at(st, WordStats.NWords)
+  private[textops] def stChars(st: Column): Column = element_at(st, WordStats.Chars)
+  private[textops] def stEn(st: Column): Column = element_at(st, WordStats.StopEn)
+  private[textops] def stPt(st: Column): Column = element_at(st, WordStats.StopPt)
+  private[textops] def stAlpha(st: Column): Column = element_at(st, WordStats.Alpha)
+
+  /** `count / n_words` with the 0-word guard — the counter twin of
+    * [[stopRatio]] (identical arithmetic on identical integers).
+    */
+  private def ratioFromCounts(num: Column, nw: Column): Column =
+    when(nw === 0, lit(0.0)).otherwise(num.cast("double") / nw.cast("double"))
+
+  /** [[langGuessFromWords]] over a staged [[WordStats.stats]] array. */
+  def langGuessFromStats(st: Column): Column = {
+    val en = round(ratioFromCounts(stEn(st), stNw(st)), 6)
+    val pt = round(ratioFromCounts(stPt(st), stNw(st)), 6)
+    when(en > pt, lit("en")).when(pt > en, lit("pt")).otherwise(lit("und"))
+  }
+
+  /** [[gopherKeepFromWords]] over a staged [[WordStats.stats]] array
+    * (the '#'/'...' symbol counts still come from the text itself —
+    * cheap codegen'd builtins).
+    */
+  def gopherKeepFromStats(text: Column, st: Column): Column = {
+    val nw = stNw(st).cast("double")
+    val chars = stChars(st).cast("double")
+    val awl = round(when(nw === 0, lit(0.0)).otherwise(chars / nw), 6)
+    val nHash = (length(text) - length(replace(text, lit("#"), lit("")))).cast("double")
+    val nEll = (length(text) - length(replace(text, lit("..."), lit("")))).cast("double") / 3.0
+    val symbolRatio = when(nw === 0, lit(0.0)).otherwise(round((nHash + nEll) / nw, 6))
+    val alphaFrac = when(nw === 0, lit(0.0)).otherwise(
+      round(stAlpha(st).cast("double") / nw, 6))
+    awl >= MeanWordLenMin && awl <= MeanWordLenMax &&
+      symbolRatio <= SymbolRatioMax && alphaFrac >= AlphaWordFracMin &&
+      stEn(st) >= MinStopwords
+  }
+
   /** Argmax language guess over the stopword ratios, as one column — the
     * langId query's verdict, reusable by composed pipelines (the composed
     * corpus build filters on it without materializing the ratios).
@@ -82,11 +125,13 @@ object TextAnalysis {
     */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     val d = loadDocs(spark, sfDir)
-    val ws = nonEmptyWords(d("text"))
-    d.select(
-      d("doc_id"),
-      round(stopRatio(ws, EnStop), 6).as("en_ratio"),
-      round(stopRatio(ws, PtStop), 6).as("pt_ratio"))
+    // the stats array stages in its own projection (non-cheap kernel,
+    // referenced by both ratios — CollapseProject keeps it: one pass)
+    d.select(d("doc_id"), WordStats.stats(d("text")).as("st"))
+      .select(
+        col("doc_id"),
+        round(ratioFromCounts(stEn(col("st")), stNw(col("st"))), 6).as("en_ratio"),
+        round(ratioFromCounts(stPt(col("st")), stNw(col("st"))), 6).as("pt_ratio"))
       .withColumn("lang_guess",
         when(col("en_ratio") > col("pt_ratio"), lit("en"))
           .when(col("pt_ratio") > col("en_ratio"), lit("pt"))
@@ -100,19 +145,21 @@ object TextAnalysis {
     */
   def quality(spark: SparkSession, sfDir: String): DataFrame = {
     val d = loadDocs(spark, sfDir)
-    val ws = nonEmptyWords(d("text"))
-    val nw = size(ws).cast("double")
-    val chars = aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double")
+    val s1 = d.select(d("doc_id"), d("text"), WordStats.stats(d("text")).as("st"))
+    val st = col("st")
+    val nw = stNw(st).cast("double")
+    val chars = stChars(st).cast("double")
     val avgWl = when(nw === 0, lit(0.0)).otherwise(chars / nw)
+    val stop = ratioFromCounts(stEn(st), stNw(st))
     val q = lit(0.5) * least(lit(1.0), nw / 100.0) +
-      lit(0.3) * stopRatio(ws, EnStop) +
+      lit(0.3) * stop +
       lit(0.2) * least(lit(1.0), avgWl / 8.0)
-    d.select(
-      d("doc_id"),
-      size(ws).as("n_words"),
-      length(d("text")).as("n_chars"),
+    s1.select(
+      col("doc_id"),
+      stNw(st).cast("int").as("n_words"),
+      length(col("text")).as("n_chars"),
       round(avgWl, 6).as("avg_word_len"),
-      round(stopRatio(ws, EnStop), 6).as("stopword_ratio"),
+      round(stop, 6).as("stopword_ratio"),
       round(q, 6).as("quality"))
       .orderBy("doc_id")
   }
@@ -122,7 +169,7 @@ object TextAnalysis {
     val d = loadDocs(spark, sfDir)
     d.select(
       d("doc_id"),
-      size(nonEmptyWords(d("text"))).as("ws_tokens"),
+      stNw(WordStats.stats(d("text"))).cast("int").as("ws_tokens"),
       size(regexp_extract_all(d("text"), lit(BpeishTokenPattern), lit(0))).as("bpe_tokens"))
       .orderBy("doc_id")
   }
@@ -150,7 +197,7 @@ object TextAnalysis {
   def tfidfKeywords(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy(desc("score_micro"), col("word"))
-    scoredPostings(spark, sfDir, None)
+    scoredPostings(spark, sfDir)
       .withColumn("kw_rank", row_number().over(w).cast("long"))
       .where(col("kw_rank") <= TfidfTopK)
       .select(col("doc_id"), col("kw_rank"), col("word"), col("tf"), col("df"),
@@ -158,34 +205,38 @@ object TextAnalysis {
       .orderBy("doc_id", "kw_rank")
   }
 
-  /** Shared (doc_id, word, tf, df) posting construction for the
-    * retrieval family ([[tfidfKeywords]], [[searchRank]],
-    * [[bm25Search]]) — ONE definition of tokenization, tf, and df so the
-    * queries (and their oracles, which share the twin CTE chain) cannot
-    * drift apart.
+  /** Full-vocabulary (doc_id, word, tf, df) postings + the frozen
+    * micro-unit smoothed-idf TF-IDF score for [[tfidfKeywords]] — ONE
+    * definition of tokenization, tf, and df matching the oracle's twin
+    * CTE chain. (The search family's term-filtered variant collapsed
+    * into [[termTfBase]]'s in-row counters in round 6: literal terms
+    * need no explode.)
+    *
+    * N rides the plan as a broadcast one-row aggregate attached to the
+    * VOCABULARY side before its broadcast (guide §1/§5: the round-5
+    * eager `count()` was an extra full-scan Spark job on every call —
+    * ADVICE r05 #1 — and hanging the one-row cross join on the big
+    * posting side instead would interleave it into the hot path).
+    * `n_docs` is CAST(count AS DOUBLE) exactly as the oracle's `n` CTE,
+    * so `(n_docs + 1.0)` is bit-identical to the old driver-side
+    * literal `nDocs.toDouble + 1.0` (counts are exact in double far
+    * past 2^31).
     */
-  private def postings(spark: SparkSession, sfDir: String,
-      terms: Option[Seq[String]]): DataFrame = {
+  private def scoredPostings(spark: SparkSession, sfDir: String): DataFrame = {
     val d = loadDocs(spark, sfDir)
     val words = d.select(d("doc_id"), explode(nonEmptyWords(d("text"))).as("word"))
-    val hits = terms.fold(words)(ts => words.where(col("word").isin(ts: _*)))
-    val tf = hits.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val n = d.agg(count(lit(1)).cast("double").as("n_docs"))
+    // the vocabulary-sized df (+ one-row N) table stays a keyed join
+    // (AQE broadcasts it when it fits)
     val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    // a term-filtered df table has at most |terms| rows: broadcast it
-    // outright; the unfiltered vocabulary table stays a keyed join (AQE
-    // broadcasts it when it fits)
-    tf.join(if (terms.isDefined) broadcast(dfT) else dfT, Seq("word"))
-  }
-
-  /** Postings + the frozen micro-unit smoothed-idf TF-IDF score. */
-  private def scoredPostings(spark: SparkSession, sfDir: String,
-      terms: Option[Seq[String]]): DataFrame = {
-    val nDocs = loadDocs(spark, sfDir).count() // bounded single-row aggregate
-    postings(spark, sfDir, terms)
+      .crossJoin(broadcast(n))
+    tf.join(dfT, Seq("word"))
       .withColumn("score_micro",
         round(lit(1e6) * col("tf").cast("double") *
-          log(lit(nDocs.toDouble + 1.0) / (col("df").cast("double") + lit(1.0))))
+          log((col("n_docs") + lit(1.0)) / (col("df").cast("double") + lit(1.0))))
           .cast("long"))
+      .drop("n_docs")
   }
 
   /** Frozen query terms for the [[searchRank]] driver query (a deployment
@@ -196,28 +247,66 @@ object TextAnalysis {
   /** Results returned by [[searchRank]]. */
   val SearchTopK = 20
 
+  /** Per-doc term-frequency base shared by the search family: one row
+    * per document with `tf_i` = occurrences of `SearchTerms(i)` (counted
+    * IN-ROW from the word array — the query terms are literals, so the
+    * per-(doc, word) explode + aggregate of the generic posting path
+    * collapses to |terms| array filters) plus the doc length `dl`. Each
+    * tf is exactly the posting count the oracle's `tf` CTE computes for
+    * that (doc, term) pair.
+    */
+  private def termTfBase(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = loadDocs(spark, sfDir)
+    // the counter array stages in its own projection (one native pass;
+    // see WordStats — the HOF form re-ran split + |terms| filters)
+    d.select(d("doc_id"), WordStats.termCounts(d("text"), SearchTerms).as("tc"))
+      .select(col("doc_id") +: element_at(col("tc"), 1).as("dl") +:
+        SearchTerms.indices.map(i =>
+          element_at(col("tc"), i + 2).as(s"tf$i")): _*)
+  }
+
+  /** The one-row corpus statistics of the search family, computed
+    * IN-PLAN and broadcast (no eager driver actions — guide §1/§5; the
+    * round-5 shape ran `count()` + `head()` scan jobs per call): N,
+    * Σdl, and per-term document frequencies `df_i` = docs with tf_i > 0
+    * (exactly the oracle's `df` CTE value: the count of distinct docs
+    * carrying the term).
+    */
+  private def termStats(base: DataFrame): DataFrame =
+    base.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl") +:
+        SearchTerms.indices.map(i =>
+          count(when(col(s"tf$i") > 0, 1)).as(s"df$i")): _*)
+
   /** Ranked conjunctive keyword search: documents containing ALL
     * [[SearchTerms]], ranked by the summed per-term TF-IDF score (same
     * micro-unit formula as [[tfidfKeywords]] — integer sums, so ranking
     * is bit-deterministic cross-engine).
     *
-    * Scale shape: the term filter is a literal `word IN (...)` applied
-    * directly above the explode — only matching (doc_id, word) rows ever
-    * reach an exchange, so shuffle volume is bounded by the posting-list
-    * sizes of the query terms, not the corpus. The per-term df table has
-    * at most |terms| rows and is broadcast explicitly. The conjunctive
-    * AND is a doc-keyed count aggregate (map-side combined), the final
-    * top-k a TakeOrderedAndProject — no global sort. At deployment the
-    * (doc_id, word, tf) posting table is precomputed and bucketed by
-    * word, turning the IN filter into partition pruning — the classic
-    * inverted-index serving path.
+    * Scale shape (round 6): ZERO keyed exchanges. The query terms are
+    * literals, so per-doc tf counts compute in-row off the scan
+    * ([[termTfBase]]) — the posting explode, its (doc_id, word)
+    * aggregate exchange, the df exchange, and the conjunction exchange
+    * of the round-5 shape all disappear. Corpus statistics (N, df_i)
+    * are ONE bounded one-row aggregate broadcast back over the
+    * conjunction-filtered rows; the ranked head is a
+    * TakeOrderedAndProject. Cost at any scale: two column-pruned scans
+    * and a |terms|-counter row per doc — no shuffle carries data rows
+    * at all. At deployment the (doc_id, word, tf) posting table is
+    * precomputed and bucketed by word, turning term lookup into
+    * partition pruning — the classic inverted-index serving path.
     */
   def searchRank(spark: SparkSession, sfDir: String): DataFrame = {
-    scoredPostings(spark, sfDir, Some(SearchTerms))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_terms"), sum(col("score_micro")).as("score_micro"))
-      .where(col("n_terms") === SearchTerms.size)
-      .select(col("doc_id"), col("score_micro"))
+    val base = termTfBase(spark, sfDir)
+    val conj = SearchTerms.indices.map(i => col(s"tf$i") > 0).reduce(_ && _)
+    val score = SearchTerms.indices.map { i =>
+      round(lit(1e6) * col(s"tf$i").cast("double") *
+        log((col("n_docs").cast("double") + lit(1.0)) /
+          (col(s"df$i").cast("double") + lit(1.0)))).cast("long")
+    }.reduce(_ + _)
+    base.where(conj)
+      .crossJoin(broadcast(termStats(base)))
+      .select(col("doc_id"), score.as("score_micro"))
       .orderBy(desc("score_micro"), col("doc_id"))
       .limit(SearchTopK)
   }
@@ -233,41 +322,40 @@ object TextAnalysis {
   val Bm25B = 0.75
   val Bm25OneMinusB = 0.25
 
-  /** BM25-ranked conjunctive search over the same posting construction
-    * as [[searchRank]]: per-term score
+  /** BM25-ranked conjunctive search over the same per-doc tf base as
+    * [[searchRank]]: per-term score
     * `idf_bm25 · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))` with
     * `idf_bm25 = ln((N − df + 0.5)/(df + 0.5) + 1)` (the Lucene
     * non-negative form), in micro units; documents containing ALL
     * [[SearchTerms]], summed-score top-[[SearchTopK]].
     *
-    * Scale shape: [[searchRank]]'s bounded-posting shuffle plus one
-    * doc-keyed equi-join from the postings to the per-doc length table
-    * (fixed-width rows, co-partitioned with the conjunction aggregate
-    * that follows). avgdl is ONE bounded scalar aggregate, computed as
-    * exact-integer-sum / count — a single IEEE division both engines
-    * agree on bit-exactly.
+    * Scale shape (round 6): ZERO keyed exchanges — [[termTfBase]]'s
+    * in-row tf counts carry `dl` on the same row, so the round-5
+    * doc-keyed postings⇄lengths equi-join disappears along with the
+    * posting explode and the conjunction exchange. N, Σdl and the
+    * per-term dfs are ONE bounded one-row aggregate broadcast in-plan
+    * (the round-5 shape ran eager `count()` + `head()` scan jobs per
+    * call — ADVICE r05 #1); avgdl = Σdl/N is one IEEE division on
+    * exact integers, evaluated identically in both engines.
     */
   def bm25Search(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = loadDocs(spark, sfDir)
-    val nDocs = d.count() // bounded single-row aggregate
-    val lens = d.select(d("doc_id"),
-      size(nonEmptyWords(d("text"))).cast("long").as("dl"))
-    val t = lens.agg(sum(col("dl")).as("s"), count(lit(1)).as("c")).head()
-    val avgdl = t.getLong(0).toDouble / t.getLong(1)
+    val base = termTfBase(spark, sfDir)
+    val conj = SearchTerms.indices.map(i => col(s"tf$i") > 0).reduce(_ && _)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val dlNorm = lit(Bm25OneMinusB) +
-      lit(Bm25B) * (col("dl").cast("double") / lit(avgdl))
-    val idf = log(
-      (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5)) + lit(1.0))
-    val tfn = (col("tf").cast("double") * lit(Bm25K1Plus1)) /
-      (col("tf").cast("double") + lit(Bm25K1) * dlNorm)
-    postings(spark, sfDir, Some(SearchTerms))
-      .join(lens, Seq("doc_id"))
-      .withColumn("term_score", round(lit(1e6) * idf * tfn).cast("long"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_terms"), sum(col("term_score")).as("score_micro"))
-      .where(col("n_terms") === SearchTerms.size)
-      .select(col("doc_id"), col("score_micro"))
+      lit(Bm25B) * (col("dl").cast("double") / avgdl)
+    val score = SearchTerms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val df = col(s"df$i").cast("double")
+      val idf = log(
+        (col("n_docs").cast("double") - df + lit(0.5)) /
+          (df + lit(0.5)) + lit(1.0))
+      val tfn = (tf * lit(Bm25K1Plus1)) / (tf + lit(Bm25K1) * dlNorm)
+      round(lit(1e6) * idf * tfn).cast("long")
+    }.reduce(_ + _)
+    base.where(conj)
+      .crossJoin(broadcast(termStats(base)))
+      .select(col("doc_id"), score.as("score_micro"))
       .orderBy(desc("score_micro"), col("doc_id"))
       .limit(SearchTopK)
   }
@@ -292,22 +380,23 @@ object TextAnalysis {
     */
   def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
     val d = loadDocs(spark, sfDir)
-    val ws = nonEmptyWords(d("text"))
-    val nw = size(ws).cast("double")
-    val chars = aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double")
+    val s1 = d.select(d("doc_id"), d("text"), WordStats.stats(d("text")).as("st"))
+    val st = col("st")
+    val nw = stNw(st).cast("double")
+    val chars = stChars(st).cast("double")
     val awl = when(nw === 0, lit(0.0)).otherwise(chars / nw)
-    val nHash = (length(d("text")) - length(replace(d("text"), lit("#"), lit("")))).cast("double")
-    val nEll = (length(d("text")) - length(replace(d("text"), lit("..."), lit("")))).cast("double") / 3.0
+    val nHash = (length(col("text")) - length(replace(col("text"), lit("#"), lit("")))).cast("double")
+    val nEll = (length(col("text")) - length(replace(col("text"), lit("..."), lit("")))).cast("double") / 3.0
     val symbolRatio = when(nw === 0, lit(0.0)).otherwise(round((nHash + nEll) / nw, 6))
     val alphaFrac = when(nw === 0, lit(0.0)).otherwise(
-      round(size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / nw, 6))
-    d.select(
-      d("doc_id"),
-      size(ws).as("n_words"),
+      round(stAlpha(st).cast("double") / nw, 6))
+    s1.select(
+      col("doc_id"),
+      stNw(st).cast("int").as("n_words"),
       round(awl, 6).as("mean_word_len"),
       symbolRatio.as("symbol_ratio"),
       alphaFrac.as("alpha_word_frac"),
-      size(filter(ws, w => w.isin(EnStop: _*))).as("n_stop"))
+      stEn(st).cast("int").as("n_stop"))
       .withColumn("keep",
         col("mean_word_len") >= MeanWordLenMin &&
           col("mean_word_len") <= MeanWordLenMax &&
@@ -361,8 +450,9 @@ object TextAnalysis {
   def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
     val d = loadDocs(spark, sfDir)
     val withW = d.select(d("doc_id"),
-      nonEmptyWords(d("text")).as("ws"), repetitionFracs(d("text")).as("fracs"))
-    val feats = withW.select(col("doc_id") +: clfFeatures(col("ws"), col("fracs")): _*)
+      WordStats.stats(d("text")).as("st"), repetitionFracs(d("text")).as("fracs"))
+    val feats = withW.select(col("doc_id") +:
+      clfFeaturesFromStats(col("st"), col("fracs")): _*)
     feats
       .withColumn("score_u8", clfScoreU8(col("f_len"), col("f_stop"),
         col("f_awl"), col("f_alpha"), col("f_rep")))
@@ -387,6 +477,23 @@ object TextAnalysis {
     Seq(
       round(least(lit(1.0), nw / 100.0), 6).as("f_len"),
       round(stopRatio(ws, EnStop), 6).as("f_stop"),
+      round(least(lit(1.0), awl / 8.0), 6).as("f_awl"),
+      round(alpha, 6).as("f_alpha"),
+      element_at(fracs, 1).as("f_rep"))
+  }
+
+  /** [[clfFeatures]] over a staged [[WordStats.stats]] array — identical
+    * arithmetic on identical integers (round-6 batch consumers use this;
+    * the word-array form stays for callers that already hold `ws`).
+    */
+  private[textops] def clfFeaturesFromStats(st: Column, fracs: Column): Seq[Column] = {
+    val nw = stNw(st).cast("double")
+    val chars = stChars(st).cast("double")
+    val awl = when(nw === 0, lit(0.0)).otherwise(chars / nw)
+    val alpha = when(nw === 0, lit(0.0)).otherwise(stAlpha(st).cast("double") / nw)
+    Seq(
+      round(least(lit(1.0), nw / 100.0), 6).as("f_len"),
+      round(ratioFromCounts(stEn(st), stNw(st)), 6).as("f_stop"),
       round(least(lit(1.0), awl / 8.0), 6).as("f_awl"),
       round(alpha, 6).as("f_alpha"),
       element_at(fracs, 1).as("f_rep"))

@@ -267,38 +267,46 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     val df = graft.textops.TextAnalysis.tfidfKeywords(spark, sf)
     val phys = df.queryExecution.executedPlan.toString
     // tf + the rank window key on doc_id, df + the tf<->df join on word;
-    // the document text is consumed by the explode before any exchange
+    // the document text is consumed by the explode before any exchange;
+    // the only SinglePartition is the bounded one-row N aggregate that
+    // rides the broadcast vocabulary side (round 6: in-plan N replaced
+    // the per-call eager count() job)
     assert(count(phys, "hashpartitioning(doc_id") >= 1, s"\n$phys")
     assert(count(phys, "hashpartitioning(word") >= 1, s"\n$phys")
-    assert(count(phys, "SinglePartition") === 0, s"\n$phys")
+    assert(count(phys, "SinglePartition") <= 1, s"\n$phys")
     assert(count(phys, "rangepartitioning") <= 1, s"\n$phys")
     assert(!phys.contains("CartesianProduct"), s"\n$phys")
     assertNoTextInShuffles(df)
   }
 
-  test("text_search: literal term filter before any exchange, broadcast df, top-k") {
+  test("text_search: in-row tf counters, one-row broadcast stats, top-k") {
     val df = graft.textops.TextAnalysis.searchRank(spark, sf)
     val phys = df.queryExecution.executedPlan.toString
-    // only query-term rows shuffle; the |terms|-row df table broadcasts;
-    // the ranked head is a TakeOrderedAndProject, never a global sort
+    // round-6 shape: per-doc tf counts compute in-row (no posting
+    // explode), so NO keyed exchange exists at all — the only shuffle
+    // is the bounded one-row stats aggregate, broadcast back over the
+    // conjunction-filtered rows; the ranked head is a
+    // TakeOrderedAndProject, never a global sort
     assert(phys.contains("TakeOrderedAndProject"), s"\n$phys")
-    assert(count(phys, "BroadcastHashJoin") >= 1, s"\n$phys")
-    assert(count(phys, "SinglePartition") === 0, s"\n$phys")
+    assert(count(phys, "hashpartitioning") === 0, s"\n$phys")
+    assert(count(phys, "SinglePartition") <= 1, s"\n$phys")
     assert(count(phys, "rangepartitioning") === 0, s"\n$phys")
     assert(!phys.contains("CartesianProduct"), s"\n$phys")
     assertNoTextInShuffles(df)
   }
 
-  test("bm25 search: doc-keyed length join, no global sort, no text in shuffles") {
+  test("bm25 search: in-row tf+dl counters, one-row broadcast stats, top-k") {
     val df = graft.textops.TextAnalysis.bm25Search(spark, sf)
     val phys = df.queryExecution.executedPlan.toString
-    // searchRank's shape plus ONE doc-keyed equi-join to the fixed-width
-    // (doc_id, dl) length table; the ranked head stays a top-k
+    // round-6 shape: tf_i and dl ride the same in-row projection, so
+    // the round-5 postings<->lengths equi-join is gone along with every
+    // keyed exchange; stats (N, sum dl, df_i) are one bounded one-row
+    // aggregate broadcast in-plan; the ranked head stays a top-k
     assert(phys.contains("TakeOrderedAndProject"), s"\n$phys")
-    assert(count(phys, "SinglePartition") === 0, s"\n$phys")
+    assert(count(phys, "hashpartitioning") === 0, s"\n$phys")
+    assert(count(phys, "SinglePartition") <= 1, s"\n$phys")
     assert(count(phys, "rangepartitioning") === 0, s"\n$phys")
     assert(!phys.contains("CartesianProduct"), s"\n$phys")
-    assert(!phys.contains("BroadcastNestedLoopJoin"), s"\n$phys")
     assertNoTextInShuffles(df)
   }
 
