@@ -257,17 +257,20 @@ object Dedup {
     * scores the boilerplate fraction — the case whole-doc exact dedup
     * misses entirely.
     *
-    * Scale shape: the exploded (doc_id, gram-hash) table carries only
-    * fixed-width longs (never text); gram frequency is ONE partial
-    * aggregate on the 60-bit gram key (map-side combine — corpus-wide
-    * frequency never funnels); the join back to doc grams is a keyed
-    * equi-join on the same key (unlike decontamination's benchmark set,
-    * the duplicated-gram table grows with the corpus, so this is a
-    * shuffled join by design — AQE splits any boilerplate-gram skew);
-    * the per-doc roll-up is again a partial aggregate. Per-doc distinct
-    * grams come from `array_distinct` INSIDE the row (no shuffle), and
-    * the gram table is memoized so the frequency and join-back branches
-    * share one kernel pass.
+    * Scale shape (round 6): the exploded (doc_id, gram-hash) table
+    * carries only fixed-width longs (never text) and aggregates EXACTLY
+    * ONCE — a (count, min) partial aggregate on the 60-bit gram key
+    * (map-side combine — corpus-wide frequency never funnels). The
+    * duplicated-gram count is then derived by complement
+    * (`dup = distinct − solely-owned`): the df=1 grams each name their
+    * single owner via `min(doc_id)`, one more partial aggregate keyed
+    * on that owner rolls them up per doc, and one keyed join attaches
+    * the result. The round-5 shape instead re-shuffled the full
+    * exploded table a second time as the probe side of a
+    * dup-gram-set join — strictly more bytes for the same answer.
+    * Per-doc distinct grams come from `array_distinct` INSIDE the row
+    * (no shuffle), and the gram table is memoized so consumers share
+    * one kernel pass.
     */
   def dupPassages(spark: SparkSession, sfDir: String): DataFrame = {
     val grams = memoized(spark, s"$sfDir#dup-passage-grams") {
@@ -276,15 +279,22 @@ object Dedup {
         array_distinct(TextAnalysis.gramHashes60(d("text"))).as("grams"))
     }
     val docGrams = grams.select(col("doc_id"), explode(col("grams")).as("g"))
-    // rows are per-doc distinct, so count == number of docs carrying g
-    val dupGramSet = docGrams.groupBy("g").agg(count(lit(1)).as("n_docs"))
-      .where(col("n_docs") >= 2).select("g")
-    val dupCounts = docGrams.join(dupGramSet, Seq("g"))
-      .groupBy("doc_id").agg(count(lit(1)).as("dup_grams"))
+    // rows are per-doc distinct, so count == number of docs carrying g,
+    // and dup_grams = n_distinct − (grams owned by this doc ALONE):
+    // counting the complement inverts the round-5 shape — the big
+    // exploded table aggregates ONCE (count + min combine map-side) and
+    // never re-shuffles as a join probe (guide §2.3/§2.4; the min of a
+    // df=1 group IS its only owner)
+    val uniqOwned = docGrams.groupBy("g")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("owner"))
+      .where(col("n") === 1)
+      .groupBy("owner").agg(count(lit(1)).as("uniq_grams"))
+      .withColumnRenamed("owner", "doc_id")
     grams.select(col("doc_id"), size(col("grams")).as("n_distinct_grams"))
-      .join(dupCounts, Seq("doc_id"), "left")
+      .join(uniqOwned, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_distinct_grams"),
-        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
+        (col("n_distinct_grams").cast("long") -
+          coalesce(col("uniq_grams"), lit(0L))).as("dup_grams"))
       .withColumn("dup_frac",
         round(col("dup_grams").cast("double") / col("n_distinct_grams").cast("double"), 6))
       .withColumn("keep", col("dup_frac") <= DupPassageFracMax)

@@ -82,8 +82,11 @@ object Dsir {
       count(when(col("lang") === TargetLang, 1)).as("c_tgt"))
     val tot = bc.agg(sum("c_raw").as("t_raw"), sum("c_tgt").as("t_tgt"))
 
-    val lam = spark.range(Buckets).select(col("id").as("b"))
-      .join(bc, Seq("b"), "left")
+    // λ only matters for buckets that OCCUR in f (the per-doc scoring is
+    // an inner join on b), and bc contains exactly those — the round-5
+    // range(64) left-join existed to also price empty buckets nothing
+    // ever joins on (two extra plan branches per run, guide §2.4)
+    val lam = bc
       .crossJoin(broadcast(tot))
       .select(col("b"),
         round(lit(1e6) * (

@@ -224,11 +224,21 @@ object TextAnalysis {
     */
   private def scoredPostings(spark: SparkSession, sfDir: String): DataFrame = {
     val d = loadDocs(spark, sfDir)
-    val words = d.select(d("doc_id"), explode(nonEmptyWords(d("text"))).as("word"))
-    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    // round 6: term frequency combines IN-ROW (native word_tf kernel —
+    // a doc's tf map is row-local by definition), so exploding its
+    // output IS the (doc_id, word, tf) posting table: the round-5
+    // groupBy(doc_id, word) aggregate and its full-posting-table
+    // exchange disappear outright (guide §2.4), and what remains to
+    // shuffle is the theoretical minimum — one row per distinct
+    // (doc, word) — for the df aggregate (map-side combined) and the
+    // rank window.
+    val tf = d
+      .select(d("doc_id"), explode(WordStats.wordTf(d("text"))).as("wt"))
+      .select(col("doc_id"), col("wt.word").as("word"), col("wt.tf").as("tf"))
     val n = d.agg(count(lit(1)).cast("double").as("n_docs"))
     // the vocabulary-sized df (+ one-row N) table stays a keyed join
-    // (AQE broadcasts it when it fits)
+    // (AQE broadcasts it when it fits); its input rows are per-doc
+    // distinct, so count(1) is exactly the document frequency
     val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(n))
     tf.join(dfT, Seq("word"))
@@ -627,17 +637,38 @@ object TextAnalysis {
         concat(d("text"), lit(" from 10."), pmod(id, lit(256)).cast("string"),
           lit(".0.1 at 555-867-5309")))
       .otherwise(d("text"))
+    // native kernel (round 6): each category counts AND replaces in ONE
+    // matcher traversal — the column-op form ran every pattern twice
+    // (regexp_extract_all for the count + regexp_replace); same
+    // java.util.regex patterns, so the match sets are byte-identical
+    // (parity pinned in WordStatsSpec)
+    val s1 = d.select(id.as("doc_id"), piiScrubStruct(planted).as("r"))
+    s1.select(col("doc_id"),
+        col("r.clean_text").as("clean_text"),
+        col("r.n_emails").as("n_emails"),
+        col("r.n_ips").as("n_ips"),
+        col("r.n_phones").as("n_phones"))
+      .withColumn("n_redactions",
+        col("n_emails") + col("n_ips") + col("n_phones"))
+      .orderBy("doc_id")
+  }
+
+  /** [[PiiScrubExpr]] as a Column (struct of clean_text + counts). */
+  def piiScrubStruct(c: Column): Column =
+    ColumnShim.column(PiiScrubExpr(ColumnShim.expression(c)))
+
+  /** The round-5 column-op PII scrub (each pattern evaluated twice:
+    * count + replace) — kept as the parity reference for the kernel.
+    */
+  private[graft] def piiScrubColumnar(planted: Column): Seq[Column] = {
     val nEmails = size(regexp_extract_all(planted, lit(PiiEmailPattern), lit(0)))
     val t1 = regexp_replace(planted, PiiEmailPattern, "<EMAIL>")
     val nIps = size(regexp_extract_all(t1, lit(PiiIpPattern), lit(0)))
     val t2 = regexp_replace(t1, PiiIpPattern, "<IP>")
     val nPhones = size(regexp_extract_all(t2, lit(PiiPhonePattern), lit(0)))
     val t3 = regexp_replace(t2, PiiPhonePattern, "<PHONE>")
-    d.select(id.as("doc_id"), t3.as("clean_text"),
-        nEmails.as("n_emails"), nIps.as("n_ips"), nPhones.as("n_phones"))
-      .withColumn("n_redactions",
-        col("n_emails") + col("n_ips") + col("n_phones"))
-      .orderBy("doc_id")
+    Seq(t3.as("clean_text"), nEmails.as("n_emails"), nIps.as("n_ips"),
+      nPhones.as("n_phones"))
   }
 
   /** Control characters stripped by [[fixUnicode]]: the C0 range minus
@@ -951,6 +982,61 @@ object TextAnalysis {
 
   def gramHashes60(c: Column): Column =
     ColumnShim.column(GramHashesExpr(ColumnShim.expression(c)))
+}
+
+/** Catalyst expression: the frozen PII scrub (email → ip → phone, each
+  * count taken on the text state its replacement sees) with each
+  * category's count and replacement produced by ONE matcher traversal.
+  * Patterns are the same frozen RE2-compatible strings the DuckDB
+  * oracle runs, compiled once per JVM; Spark's own regexp functions are
+  * java.util.regex, so the per-category match sets — and therefore
+  * counts and replacements — are byte-identical to the round-5
+  * column-op form (parity pinned in WordStatsSpec).
+  */
+case class PiiScrubExpr(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = false),
+    StructField("n_emails", IntegerType, nullable = false),
+    StructField("n_ips", IntegerType, nullable = false),
+    StructField("n_phones", IntegerType, nullable = false)))
+  override def nullSafeEval(input: Any): Any = {
+    import PiiScrubExpr._
+    val (t1, nEmails) = pass(input.asInstanceOf[UTF8String].toString,
+      EmailP, "<EMAIL>")
+    val (t2, nIps) = pass(t1, IpP, "<IP>")
+    val (t3, nPhones) = pass(t2, PhoneP, "<PHONE>")
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString(t3), nEmails, nIps, nPhones)
+  }
+  override protected def withNewChildInternal(newChild: Expression): PiiScrubExpr =
+    copy(child = newChild)
+  override def prettyName: String = "pii_scrub"
+}
+
+object PiiScrubExpr {
+  private val EmailP = java.util.regex.Pattern.compile(TextAnalysis.PiiEmailPattern)
+  private val IpP = java.util.regex.Pattern.compile(TextAnalysis.PiiIpPattern)
+  private val PhoneP = java.util.regex.Pattern.compile(TextAnalysis.PiiPhonePattern)
+
+  /** One traversal: count every match and substitute the typed token
+    * (the token strings contain no `$`/`\`, so `appendReplacement` —
+    * the same machinery Spark's regexp_replace uses — is literal).
+    */
+  private def pass(s: String, p: java.util.regex.Pattern,
+      token: String): (String, Int) = {
+    val m = p.matcher(s)
+    var n = 0
+    var sb: java.lang.StringBuilder = null
+    while (m.find()) {
+      if (sb == null) sb = new java.lang.StringBuilder(s.length)
+      n += 1
+      m.appendReplacement(sb, token)
+    }
+    if (n == 0) (s, 0)
+    else { m.appendTail(sb); (sb.toString, n) }
+  }
 }
 
 /** Catalyst expression wrapping [[TextAnalysis.repetitionScala]]. */

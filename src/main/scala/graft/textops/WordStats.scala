@@ -124,6 +124,47 @@ object WordStats {
 
   def termCounts(c: Column, terms: Seq[String]): Column =
     ColumnShim.column(TermCountsExpr(ColumnShim.expression(c), terms.toIndexedSeq))
+
+  /** Scala twin of [[wordTfColumnar]]: the per-doc term-frequency map as
+    * (word, tf) pairs in first-occurrence order — one pass, one hash
+    * map. Exploding this array yields the (doc_id, word, tf) posting
+    * table DIRECTLY: per-doc combination happens in-row, so the tf
+    * aggregate (and its full-posting exchange) disappears from the
+    * TF-IDF plan.
+    */
+  def wordTfScala(text: String): Array[(String, Long)] = {
+    val m = new java.util.LinkedHashMap[String, Long]()
+    val len = text.length
+    var i = 0
+    while (i <= len) {
+      var j = i
+      while (j < len && text.charAt(j) != ' ') j += 1
+      if (j > i) {
+        val w = text.substring(i, j)
+        m.merge(w, 1L, (a, b) => a + b)
+      }
+      i = j + 1
+    }
+    val out = new Array[(String, Long)](m.size)
+    val it = m.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) { val e = it.next(); out(k) = (e.getKey, e.getValue); k += 1 }
+    out
+  }
+
+  /** Column-op reference twin of [[wordTfScala]] (quadratic — test use
+    * only; `array_distinct` preserves first-occurrence order, matching
+    * the kernel's LinkedHashMap).
+    */
+  def wordTfColumnar(text: Column): Column = {
+    val ws = TextAnalysis.nonEmptyWords(text)
+    transform(array_distinct(ws), w =>
+      struct(w.as("word"),
+        size(filter(ws, x => x === w)).cast("long").as("tf")))
+  }
+
+  def wordTf(c: Column): Column =
+    ColumnShim.column(WordTfExpr(ColumnShim.expression(c)))
 }
 
 /** Catalyst expression wrapping [[WordStats.statsScala]]. */
@@ -137,6 +178,24 @@ case class WordStatsExpr(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(newChild: Expression): WordStatsExpr =
     copy(child = newChild)
   override def prettyName: String = "word_stats"
+}
+
+/** Catalyst expression wrapping [[WordStats.wordTfScala]]. */
+case class WordTfExpr(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  import org.apache.spark.sql.types.{StringType, StructField, StructType}
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("word", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      WordStats.wordTfScala(input.asInstanceOf[UTF8String].toString)
+        .map { case (w, tf) =>
+          org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString(w), tf)
+        }.toArray[Any])
+  override protected def withNewChildInternal(newChild: Expression): WordTfExpr =
+    copy(child = newChild)
+  override def prettyName: String = "word_tf"
 }
 
 /** Catalyst expression wrapping [[WordStats.termCountsScala]]; `terms`

@@ -70,6 +70,49 @@ class WordStatsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("word_tf kernel == columnar reference (per-doc tf map, stable order)") {
+    import spark.implicits._
+    val extra = fixtures ++ Seq(
+      "a a a b b c",
+      "the the the quick the quick")
+    val df = extra.toDF("s")
+    val rows = df.select(
+      WordStats.wordTf(col("s")).as("native"),
+      WordStats.wordTfColumnar(col("s")).as("columnar")).collect()
+    rows.zip(extra).foreach { case (r, s) =>
+      val n = r.getSeq[org.apache.spark.sql.Row](0).map(x => (x.getString(0), x.getLong(1)))
+      val c = r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getString(0), x.getLong(1)))
+      assert(n === c, s"input: '$s'")
+      assert(WordStats.wordTfScala(s).toSeq === n, s"scala twin diverged on '$s'")
+    }
+  }
+
+  test("pii_scrub kernel == round-5 column-op double-pass reference") {
+    import spark.implicits._
+    val inputs = Seq(
+      "contact a@b.co now",
+      "from 10.1.0.1 and 8.8.8.8 today",
+      "call 555-867-5309 or 555 1234 5678",
+      "a@b.co 10.1.1.1 555-123-4567 all three",
+      "email x.y+z@ex.ample.org.",
+      "no pii here at all",
+      "",
+      "overlong 999.999.999.999 still ip-shaped",
+      "123-4567-8901 and 12-345-6789",
+      "two mails a@b.co c@d.org one line")
+    val df = inputs.toDF("t")
+    val rows = df.select(
+      TextAnalysis.piiScrubStruct(col("t")).as("r") +:
+        TextAnalysis.piiScrubColumnar(col("t")): _*).collect()
+    rows.zip(inputs).foreach { case (r, s) =>
+      val k = r.getStruct(0)
+      assert(k.getString(0) === r.getString(1), s"clean_text diverged on '$s'")
+      assert(k.getInt(1) === r.getInt(2), s"n_emails diverged on '$s'")
+      assert(k.getInt(2) === r.getInt(3), s"n_ips diverged on '$s'")
+      assert(k.getInt(3) === r.getInt(4), s"n_phones diverged on '$s'")
+    }
+  }
+
   test("stats-derived query columns equal the round-5 word-array forms") {
     import spark.implicits._
     val df = fixtures.toDF("text")
