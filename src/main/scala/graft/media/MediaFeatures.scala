@@ -31,6 +31,15 @@ import org.apache.spark.sql.functions._
   */
 object MediaFeatures {
 
+  // javax.imageio defaults to FILE-backed cache streams: without this,
+  // every createImageInputStream/ImageIO.write wraps its in-memory
+  // buffer in a FileCache*Stream — a temp file created, written, read
+  // and deleted PER IMAGE (measured 2-3x wall on the decode query, with
+  // run-to-run variance tracking tmpfs state). The payloads here are
+  // KB-sized byte arrays; memory-cached streams are strictly better at
+  // any scale, and identical bytes in/out.
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaRef(doc_id: String, media_ref: String, offset: Int)
   case class MediaBlob(doc_id: String, media_ref: String, offset: Int,
       payload: Array[Byte])

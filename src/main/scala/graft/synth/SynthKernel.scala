@@ -36,24 +36,46 @@ object SynthKernel {
     val key8 = if (ds.length >= 8) ds.substring(0, 8)
       else "0" * (8 - ds.length) + ds
     val docKey = "doc-" + key8
-    val words = text.split(" ", -1)
-    val nw = words.length
+    // round 6: `split(" ", -1)` words re-joined with " " over a range
+    // are EXACTLY a substring of the original text (separators are all
+    // single spaces), so paragraph/cell slices come from word-boundary
+    // offsets instead of allocating the word array + per-slice mkString
+    // — the synth kernel feeds every extract/serve/media/llm query.
+    val len = text.length
+    var nw = 1
+    var p = 0
+    while (p < len) { if (text.charAt(p) == ' ') nw += 1; p += 1 }
+    // starts(k) = first char of word k; sentinel starts(nw) = len + 1 so
+    // "end of word k" is uniformly starts(k + 1) - 1
+    val starts = new Array[Int](nw + 1)
+    var k = 1
+    p = 0
+    while (p < len) { if (text.charAt(p) == ' ') { starts(k) = p + 1; k += 1 }; p += 1 }
+    starts(nw) = len + 1
+    // words[a until b) joined with " " (empty when a >= nw, as the
+    // out-of-range slice was)
+    def joinWords(a: Int, b: Int): String =
+      if (a >= nw) "" else text.substring(starts(a), starts(math.min(b, nw)) - 1)
+
     val np = ((nw + ParaWords - 1) / ParaWords).toInt
     val cls = (did % 5).toInt
     val allBlank = did % 25 == 5
 
-    def para(i: Int): String = {
-      val from = i * ParaWords
-      if (from >= nw) ""
-      else words.slice(from, math.min(from + ParaWords, nw)).mkString(" ")
-    }
+    def para(i: Int): String = joinWords(i * ParaWords, i * ParaWords + ParaWords)
     def cell(i: Int, j: Int): String = {
       val from = i * ParaWords + j * CellWords
-      if (from >= nw) ""
-      else words.slice(from, math.min(from + CellWords, nw)).mkString(" ")
+      joinWords(from, from + CellWords)
     }
-    def rowText(i: Int): String =
-      (0 until CellsPerRow).map(cell(i, _)).mkString("\t")
+    def rowText(i: Int): String = {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < CellsPerRow) {
+        if (j > 0) sb.append('\t')
+        sb.append(cell(i, j))
+        j += 1
+      }
+      sb.toString
+    }
     def pdfMedia(i: Int): String = {
       val page = i / 4; val k = i % 4
       s"p$page:x${k % 2 * 300}:y${k / 2 * 100}"
