@@ -511,12 +511,16 @@ object Dedup {
     * are shared with [[dupPassages]] / decontamination (one memoized
     * kernel pass).
     *
-    * Scale shape: rare-gram doc frequency is ONE partial aggregate on
-    * the 60-bit gram key; the pair join is a keyed equi-join on the same
-    * key bounded by [[ContainmentGramDfMax]] (see there) — only
-    * fixed-width ids ride it; intersection sizes come from a partial
-    * aggregate on the id pair; the single broadcast-sized denominator
-    * join closes the ratio. No text, no all-pairs product anywhere.
+    * Scale shape (round 6): rare-gram doc frequency is ONE partial
+    * aggregate on the 60-bit gram key; pair candidates come from a
+    * second keyed aggregate over the truly-shared grams (2 <= df <=
+    * [[ContainmentGramDfMax]]) whose collect_list is BOUNDED by the
+    * cap — the very bound that made the round-5 self-join safe — and
+    * the <= cap·(cap−1) ordered pairs per gram expand in-row;
+    * intersection sizes are a partial aggregate on the id pair; the
+    * single broadcast-sized denominator join closes the ratio. No
+    * text, no join carrying the gram table twice, no all-pairs product
+    * anywhere.
     */
   def containment(spark: SparkSession, sfDir: String): DataFrame = {
     val grams = memoized(spark, s"$sfDir#dup-passage-grams") {
@@ -535,16 +539,22 @@ object Dedup {
     }
     val nRare = rare.groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
     // only grams SHARED by >= 2 docs can produce a cross pair (a df=1
-    // gram meets nothing but its own doc, which the id filter drops) —
-    // pre-filtering both join sides shrinks the pair-join input to the
-    // truly-shared grams (guide §2.3: shuffle fewer bytes; on a crawl
-    // where most rare grams are unique this drops most of the exchange)
-    // without changing a single output pair
+    // gram meets nothing but its own doc), and each surviving gram's
+    // doc set is <= [[ContainmentGramDfMax]] BY CONSTRUCTION — so the
+    // ordered pairs expand IN-ROW from a bounded collect_list instead
+    // of the round-5 two-sided self-join: one keyed aggregate replaces
+    // two full exchanges of the shared-gram table plus the join, and
+    // the per-gram pair fan-out stays the same cap² bound the join had
+    // (guide §2.4: remove shuffles outright)
     val shared = rare.where(col("n_docs") >= 2)
-    val a = shared.select(col("doc_id").as("id_contained"), col("g"))
-    val b = shared.select(col("doc_id").as("id_container"), col("g"))
-    val inter = a.join(b, Seq("g"))
-      .where(col("id_contained") =!= col("id_container"))
+    val gramDocs = shared.groupBy("g")
+      .agg(collect_list(col("doc_id")).as("docs"))
+    val pairs = gramDocs.select(explode(flatten(transform(col("docs"), a =>
+      transform(filter(col("docs"), b => b =!= a), b =>
+        struct(a.as("id_contained"), b.as("id_container")))))).as("pr"))
+    val inter = pairs
+      .select(col("pr.id_contained").as("id_contained"),
+        col("pr.id_container").as("id_container"))
       .groupBy("id_contained", "id_container")
       .agg(count(lit(1)).as("n_shared"))
     inter

@@ -30,6 +30,13 @@ object Probe {
     import graft.textops._
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
 
+    // round-6 sub-plan probes (run each op once to fill memos, then time
+    // the listed pieces; names: probe with `containment_x` etc.)
+    t("warm_containment") { Dedup.containment(spark, sfDir) }
+    t("containment_full") { Dedup.containment(spark, sfDir) }
+    t("warm_clean") { TextAnalysis.cleanPipeline(spark, sfDir) }
+    t("clean_full") { TextAnalysis.cleanPipeline(spark, sfDir) }
+    t("clean_keepers") { TextAnalysis.cleanPlanDupLines(spark, sfDir) }
     t("minhash_full") { Dedup.minhashLsh(spark, sfDir) }
     t("ngram_full") { Dedup.ngramJaccard(spark, sfDir) }
     t("dead_letter") { graft.serve.Queries.deadLetters(spark, sfDir) }
