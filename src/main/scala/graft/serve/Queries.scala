@@ -14,16 +14,20 @@ object Queries {
 
   /** Per-doc status projection over any extracted-output relation
     * (inline extraction or the pipeline's stored `data/` table).
+    * Round 6: the four span-array counters come from the single-pass
+    * [[SpanStats]] kernel (the HOF forms ran four interpreted passes
+    * per row; parity pinned in SpanStatsSpec), staged in one projection
+    * so the kernel evaluates once.
     */
   def statusProjection(out: DataFrame): DataFrame =
-    out.select(
-      col("doc_id"),
-      pmod(substring(col("doc_id"), 5, 8).cast("long"), lit(5L)).as("cls"),
-      size(col("spans")).as("n_spans"),
-      size(filter(col("spans"), s => s.getField("kind") === "image")).as("n_images"),
-      size(filter(col("spans"), s => s.getField("kind") === "error")).as("n_errors"),
-      aggregate(col("spans"), lit(0L),
-        (acc, s) => acc + coalesce(length(s.getField("text")), lit(0))).as("text_chars"))
+    out.select(col("doc_id"), SpanStats.stats(col("spans")).as("sst"))
+      .select(
+        col("doc_id"),
+        pmod(substring(col("doc_id"), 5, 8).cast("long"), lit(5L)).as("cls"),
+        element_at(col("sst"), SpanStats.NSpans).cast("int").as("n_spans"),
+        element_at(col("sst"), SpanStats.NImages).cast("int").as("n_images"),
+        element_at(col("sst"), SpanStats.NErrors).cast("int").as("n_errors"),
+        element_at(col("sst"), SpanStats.TextChars).as("text_chars"))
 
   /** Per-doc status row: doc class, span/image/error counts, chars. */
   def docStatus(spark: SparkSession, sfDir: String): DataFrame =
@@ -173,8 +177,8 @@ object Queries {
   def oversizeDeadLetters(spark: SparkSession, sfDir: String): DataFrame =
     SpanSynth.docsInput(spark, sfDir)
       .select(col("doc_id"),
-        aggregate(col("spans"), lit(0L),
-          (acc, s) => acc + coalesce(length(s.getField("text")), lit(0))).as("span_chars"))
+        element_at(SpanStats.stats(col("spans")), SpanStats.TextChars)
+          .as("span_chars"))
       .where(col("span_chars") > OversizeCapChars)
       .select(col("doc_id"), col("span_chars"), lit("oversize").as("reason"))
       .orderBy("doc_id")

@@ -60,15 +60,20 @@ object Decontam {
     * tagged-gram table; [[decontaminate]] audits it, the curated corpus
     * build anti-joins it.
     */
-  def contaminatedIds(spark: SparkSession, sfDir: String): DataFrame = {
-    val tagged = taggedGrams(spark, sfDir)
-    val benchGrams = tagged.where(col("is_benchmark"))
-      .select(explode(col("grams")).as("g")).distinct()
-    tagged.where(!col("is_benchmark"))
-      .select(col("doc_id"), explode(col("grams")).as("g"))
-      .join(broadcast(benchGrams), Seq("g"))
-      .select("doc_id").distinct()
-  }
+  def contaminatedIds(spark: SparkSession, sfDir: String): DataFrame =
+    // memoized like SemDeDup's dropped-id set: a bounded id table with
+    // two driver-query consumers (this audit and the curated build's
+    // anti-join) — without it each invocation re-runs the benchmark
+    // distinct + the probe-side explode over the cached gram table
+    SessionMemo(spark, s"$sfDir#decontam-ids") {
+      val tagged = taggedGrams(spark, sfDir)
+      val benchGrams = tagged.where(col("is_benchmark"))
+        .select(explode(col("grams")).as("g")).distinct()
+      tagged.where(!col("is_benchmark"))
+        .select(col("doc_id"), explode(col("grams")).as("g"))
+        .join(broadcast(benchGrams), Seq("g"))
+        .select("doc_id").distinct()
+    }
 
   /** The benchmark gram set as a driver-side sorted array — the second
     * OFFLINE-PLANNED static input of the streaming curated tail (with
