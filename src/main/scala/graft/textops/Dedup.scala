@@ -230,11 +230,16 @@ object Dedup {
       col("band"), col("bkey"))
     val b = bands.select(col("doc_id").as("id_b"), col("simhash").as("fp_b"),
       col("band"), col("bkey"))
+    // hamming + threshold BEFORE the dedup aggregate (round 6): a pair's
+    // hamming is determined by its fingerprints, so filtering first
+    // keeps exactly the same survivors while the distinct only sees the
+    // (rare) true near-dups instead of every band collision — guide
+    // §2.3, shuffle fewer bytes into the aggregate
     a.join(b, Seq("band", "bkey")).where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "fp_a", "fp_b").distinct()
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
       .where(col("hamming") <= SimHashMaxHamming)
+      .distinct()
       .orderBy("id_a", "id_b")
   }
 

@@ -88,10 +88,29 @@ object Similarity {
 
   /** Left-fold dot product — matches DuckDB's
     * `list_sum(list_transform(range(n), i -> a[i+1]*b[i+1]))`. Shared
-    * with [[Ivf]] (one definition, one fold order).
+    * with [[Ivf]] (one definition, one fold order). Round 6: native
+    * kernel (the HOF form allocated a zipped array and folded it
+    * interpreted, per scored row); [[dotColumnar]] remains as the
+    * parity reference (SimilaritySpec pins kernel == columnar).
     */
-  private[textops] def dot(a: Column, b: Column): Column =
+  private[graft] def dot(a: Column, b: Column): Column =
+    ColumnShim.column(DotExpr(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Column-op reference twin of [[dot]] (identical fold order). */
+  private[graft] def dotColumnar(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Scala twin of [[dot]]: sequential left-to-right multiply-add from
+    * 0.0 — the same IEEE operation order as the HOF fold and DuckDB's
+    * list_sum(list_transform(...)).
+    */
+  private[graft] def dotScala(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
 
   /** B-bit sign signature of `emb` for LSH table `t` over the plane pool —
     * column-op reference implementation (what the DuckDB oracle mirrors;
@@ -99,7 +118,9 @@ object Similarity {
     */
   def tableSignature(emb: Column, t: Int, bits: Int): Column =
     (0 until bits).map { j =>
-      when(dot(emb, typedLit(PlanePool(t * bits + j))) > 0.0, lit(1L << j))
+      // dotColumnar, deliberately: this is the pure column-op reference
+      // the parity spec compares the native kernels against
+      when(dotColumnar(emb, typedLit(PlanePool(t * bits + j))) > 0.0, lit(1L << j))
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -233,6 +254,23 @@ object Similarity {
       .where(col("sim") >= NearDupCosine)
       .orderBy("id_a", "id_b")
   }
+}
+
+/** Catalyst expression wrapping [[Similarity.dotScala]]: the left-fold
+  * dot product of two equal-length double arrays (every caller pairs
+  * same-dimension vectors; the fold order matches the column-op twin
+  * and DuckDB bit-for-bit).
+  */
+case class DotExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Similarity.dotScala(a.asInstanceOf[ArrayData].toDoubleArray(),
+      b.asInstanceOf[ArrayData].toDoubleArray())
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotExpr = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "dot_fold"
 }
 
 /** Catalyst expression wrapping [[Similarity.signaturesScala]]: all

@@ -54,6 +54,19 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     emb.unpersist()
   }
 
+  test("native dot_fold == columnar left-fold on real embeddings") {
+    val emb = Similarity.loadEmb(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val q = emb.where(col("vec_id") === 0L)
+      .select(col("e").as("qv"))
+    val rows = emb.crossJoin(broadcast(q))
+      .select(Similarity.dot(col("e"), col("qv")).as("native"),
+        Similarity.dotColumnar(col("e"), col("qv")).as("columnar"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
   test("near-dup finds nearly all planted pairs at high similarity") {
     val out = Similarity.embeddingNearDup(spark, sfDir).collect()
     val plantedFound = out.count { r =>
