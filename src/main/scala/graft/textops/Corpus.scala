@@ -71,7 +71,7 @@ object Corpus {
     */
   def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
     val d = TextAnalysis.loadDocs(spark, sfDir)
-    val toks = TextAnalysis.stNw(graft.textops.WordStats.stats(d("text")))
+    val toks = graft.textops.WordStats.wordCount(d("text"))
     val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     d.select(d("doc_id"), toks.as("n_tokens"))
       .withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))
@@ -128,8 +128,7 @@ object Corpus {
       carry: Seq[String] = Nil,
       orderCols: Seq[String] = Seq("doc_id"),
       tokens: Option[Column] = None): DataFrame = {
-    val toks = tokens.getOrElse(
-      TextAnalysis.stNw(graft.textops.WordStats.stats(col("text"))))
+    val toks = tokens.getOrElse(graft.textops.WordStats.wordCount(col("text")))
     val w = Window.partitionBy("shard").orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     df.select(col("doc_id") +: shard.as("shard") +: toks.as("n_tokens") +:
@@ -286,7 +285,7 @@ object Corpus {
     val tagged = SessionMemo(spark, s"$sfDir#mix-tagged") {
       val d = TextAnalysis.loadDocs(spark, sfDir)
       d.select(d("doc_id"), d("source"),
-        TextAnalysis.stNw(graft.textops.WordStats.stats(d("text"))).as("n_tokens"),
+        graft.textops.WordStats.wordCount(d("text")).as("n_tokens"),
         mixHash(d("doc_id")).as("mix_h"))
     }
     val rates = SessionMemo(spark, s"$sfDir#mix-rates") { ratesCore(tagged) }
@@ -514,8 +513,8 @@ object Corpus {
     // silently subtract from the sum), null n_chars counts 0
     d.select(coalesce(col("lang"), lit(StatsNull)).as("lang"),
         coalesce(col("source"), lit(StatsNull)).as("source"),
-        TextAnalysis.stNw(graft.textops.WordStats.stats(
-          coalesce(col("text"), lit("")))).as("n_tokens"),
+        graft.textops.WordStats.wordCount(coalesce(col("text"), lit("")))
+          .as("n_tokens"),
         coalesce(col("n_chars"), lit(0L)).as("n_chars"))
       .cube("lang", "source")
       .agg(

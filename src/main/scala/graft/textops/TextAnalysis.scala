@@ -169,7 +169,7 @@ object TextAnalysis {
     val d = loadDocs(spark, sfDir)
     d.select(
       d("doc_id"),
-      stNw(WordStats.stats(d("text"))).cast("int").as("ws_tokens"),
+      WordStats.wordCount(d("text")).cast("int").as("ws_tokens"),
       size(regexp_extract_all(d("text"), lit(BpeishTokenPattern), lit(0))).as("bpe_tokens"))
       .orderBy("doc_id")
   }

@@ -165,6 +165,39 @@ object WordStats {
 
   def wordTf(c: Column): Column =
     ColumnShim.column(WordTfExpr(ColumnShim.expression(c)))
+
+  /** Scala twin of the bare non-empty word count — the cheap subset of
+    * [[statsScala]] for consumers that need ONLY n_tokens (sequence
+    * packing, mix planning, the corpus card): one boundary scan, none
+    * of the per-word classification work. Always equals
+    * `statsScala(text)(0)`.
+    */
+  def wordCountScala(text: String): Long = {
+    var nw = 0L
+    val len = text.length
+    var i = 0
+    while (i <= len) {
+      var j = i
+      while (j < len && text.charAt(j) != ' ') j += 1
+      if (j > i) nw += 1
+      i = j + 1
+    }
+    nw
+  }
+
+  def wordCount(c: Column): Column =
+    ColumnShim.column(WordCountExpr(ColumnShim.expression(c)))
+}
+
+/** Catalyst expression wrapping [[WordStats.wordCountScala]]. */
+case class WordCountExpr(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    WordStats.wordCountScala(input.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(newChild: Expression): WordCountExpr =
+    copy(child = newChild)
+  override def prettyName: String = "word_count"
 }
 
 /** Catalyst expression wrapping [[WordStats.statsScala]]. */

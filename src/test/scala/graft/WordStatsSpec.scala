@@ -70,6 +70,20 @@ class WordStatsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("word_count kernel == stats n_words == columnar size") {
+    import spark.implicits._
+    val df = fixtures.toDF("s")
+    val rows = df.select(
+      WordStats.wordCount(col("s")).as("wc"),
+      WordStats.stats(col("s")).as("st"),
+      size(TextAnalysis.nonEmptyWords(col("s"))).cast("long").as("ref")).collect()
+    rows.zip(fixtures).foreach { case (r, s) =>
+      assert(r.getLong(0) === r.getSeq[Long](1).head, s"vs stats on '$s'")
+      assert(r.getLong(0) === r.getLong(2), s"vs columnar on '$s'")
+      assert(WordStats.wordCountScala(s) === r.getLong(0), s"scala twin on '$s'")
+    }
+  }
+
   test("word_tf kernel == columnar reference (per-doc tf map, stable order)") {
     import spark.implicits._
     val extra = fixtures ++ Seq(
