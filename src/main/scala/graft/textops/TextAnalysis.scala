@@ -792,17 +792,106 @@ object TextAnalysis {
     */
   def c4Clean(spark: SparkSession, sfDir: String): DataFrame = {
     val d = loadDocs(spark, sfDir)
-    val s1 = c4PlantedLines(
-      d.select(d("doc_id"), nonEmptyWords(d("text")).as("ws")))
-    val s2 = s1.select(col("doc_id"), col("lines"),
-      c4KeptCol(col("lines")).as("kept"),
-      array_join(col("lines"), "\n").as("page_text"))
-    s2.select(col("doc_id"),
-        size(col("lines")).cast("long").as("n_lines"),
-        size(col("kept")).cast("long").as("n_kept"),
-        c4PageKeepCol(col("kept"), col("page_text")).as("page_keep"),
-        array_join(col("kept"), "\n").as("clean_text"))
+    // round 6: one native pass per row (chunking, per-line suffix, the
+    // four sparse plants, line rules, page verdict) instead of the
+    // staged HOF chain — the chain was correct and CollapseProject-safe
+    // but every stage ran interpreted per element. The column-op
+    // definitions below remain THE reference (streaming uses them;
+    // kernel parity pinned in WordStatsSpec on the real corpus).
+    val s1 = d.select(d("doc_id"), c4Doc(d("doc_id"), d("text")).as("c4"))
+    s1.select(col("doc_id"),
+        size(col("c4.lines")).cast("long").as("n_lines"),
+        size(col("c4.kept")).cast("long").as("n_kept"),
+        col("c4.page_keep").as("page_keep"),
+        array_join(col("c4.kept"), "\n").as("clean_text"))
       .orderBy("doc_id")
+  }
+
+  /** `c4_doc(doc_id, text)` as a Column (struct of lines/kept/verdict). */
+  def c4Doc(docId: Column, text: Column): Column =
+    ColumnShim.column(C4DocExpr(
+      ColumnShim.expression(docId), ColumnShim.expression(text)))
+
+  /** Scala twin of the whole C4 stage over one doc —
+    * [[c4PlantedLines]] + [[c4KeptCol]] + [[c4PageKeepCol]] rule for
+    * rule: (lines, kept, page_keep).
+    */
+  def c4DocScala(did: Long, text: String): (Array[String], Array[String], Boolean) = {
+    // non-empty word spans of split(text, " ", -1)
+    val len = text.length
+    var nw = 0
+    var p = 0
+    var inWord = false
+    while (p < len) {
+      val sp = text.charAt(p) == ' '
+      if (!sp && !inWord) { nw += 1; inWord = true }
+      else if (sp) inWord = false
+      p += 1
+    }
+    val ws = new Array[Int](nw); val we = new Array[Int](nw)
+    var k = 0; p = 0; inWord = false
+    while (p < len) {
+      val sp = text.charAt(p) == ' '
+      if (!sp && !inWord) { ws(k) = p; inWord = true }
+      else if (sp && inWord) { we(k) = p; k += 1; inWord = false }
+      p += 1
+    }
+    if (inWord) { we(k) = len; k += 1 }
+
+    val np = (nw + C4PlantLineWords - 1) / C4PlantLineWords
+    val lines = new scala.collection.mutable.ArrayBuffer[String](np + 4)
+    var i = 0
+    while (i < np) {
+      val sb = new java.lang.StringBuilder
+      var w = i * C4PlantLineWords
+      val end = math.min(w + C4PlantLineWords, nw)
+      while (w < end) {
+        if (w > i * C4PlantLineWords) sb.append(' ')
+        sb.append(text, ws(w), we(w))
+        w += 1
+      }
+      java.lang.Math.floorMod(did + i, 3L) match {
+        case 0L => sb.append(" .")
+        case 1L => sb.append(" !")
+        case _ => ()
+      }
+      lines += sb.toString
+      i += 1
+    }
+    if (java.lang.Math.floorMod(did, 7L) == 0L) lines += C4FooterLine
+    if (java.lang.Math.floorMod(did, 11L) == 0L)
+      lines += "please enable javascript to view this page ."
+    if (java.lang.Math.floorMod(did, 13L) == 0L)
+      lines += "lorem ipsum dolor sit amet consectetur ."
+    if (java.lang.Math.floorMod(did, 17L) == 0L)
+      lines += "function main ( ) { return 0 }"
+
+    def isPunctToken(l: String, a: Int, b: Int): Boolean =
+      b - a == 1 && { val c = l.charAt(a)
+        c == '.' || c == '!' || c == '?' || c == '"' }
+    def keepLine(l: String): Boolean = {
+      if (l.isEmpty) return false
+      val last = l.charAt(l.length - 1)
+      if (last != '.' && last != '!' && last != '?' && last != '"') return false
+      var content = 0
+      var j = 0
+      val n = l.length
+      while (j <= n) {
+        var e = j
+        while (e < n && l.charAt(e) != ' ') e += 1
+        if (e > j) {
+          if (!isPunctToken(l, j, e)) content += 1
+          if (e - j == 10 && l.regionMatches(j, "javascript", 0, 10)) return false
+        }
+        j = e + 1
+      }
+      content >= C4LineMinWords
+    }
+    val kept = lines.filter(keepLine).toArray
+    val pageKeep = kept.length >= C4PageMinLines &&
+      !lines.exists(l => l.contains("lorem ipsum")) &&
+      !lines.exists(l => l.contains("{"))
+    (lines.toArray, kept, pageKeep)
   }
 
   /** The planted line table `(doc_id, lines)` from a `(doc_id, ws)`
@@ -893,13 +982,13 @@ object TextAnalysis {
     val d = loadDocs(spark, sfDir)
     val cleaned = d.select(d("doc_id"),
       fixUnicodeCol(plantUnicode(d("doc_id"), d("text"))).as("clean"))
-    val s1 = c4PlantedLines(
-      cleaned.select(col("doc_id"), nonEmptyWords(col("clean")).as("ws")))
-    val s2 = s1.select(col("doc_id"), c4KeptCol(col("lines")).as("paras"),
-      array_join(col("lines"), "\n").as("page_text"))
+    // native C4 pass over the REPAIRED text (see c4Clean; kernel parity
+    // with the columnar chain pinned in WordStatsSpec)
+    val s1 = cleaned.select(col("doc_id"),
+      c4Doc(col("doc_id"), col("clean")).as("c4"))
     SessionMemo(spark, s"$sfDir#clean-pages") {
-      s2.where(c4PageKeepCol(col("paras"), col("page_text")))
-        .select("doc_id", "paras")
+      s1.where(col("c4.page_keep"))
+        .select(col("doc_id"), col("c4.kept").as("paras"))
     }
   }
 
@@ -982,6 +1071,31 @@ object TextAnalysis {
 
   def gramHashes60(c: Column): Column =
     ColumnShim.column(GramHashesExpr(ColumnShim.expression(c)))
+}
+
+/** Catalyst expression wrapping [[TextAnalysis.c4DocScala]]: the whole
+  * per-doc C4 stage — planted lines, line rules, page verdict — in one
+  * pass. Output struct: (lines, kept, page_keep).
+  */
+case class C4DocExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  import org.apache.spark.sql.types.{ArrayType, BooleanType, StructField, StructType}
+  override def dataType: DataType = StructType(Seq(
+    StructField("lines", ArrayType(StringType, containsNull = false), nullable = false),
+    StructField("kept", ArrayType(StringType, containsNull = false), nullable = false),
+    StructField("page_keep", BooleanType, nullable = false)))
+  override def nullSafeEval(didAny: Any, textAny: Any): Any = {
+    val (lines, kept, keep) = TextAnalysis.c4DocScala(
+      didAny.asInstanceOf[Long], textAny.asInstanceOf[UTF8String].toString)
+    def arr(xs: Array[String]) =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        xs.map(s => UTF8String.fromString(s)).toArray[Any])
+    org.apache.spark.sql.catalyst.InternalRow(arr(lines), arr(kept), keep)
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): C4DocExpr = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "c4_doc"
 }
 
 /** Catalyst expression: the frozen PII scrub (email → ip → phone, each

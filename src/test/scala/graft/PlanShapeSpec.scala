@@ -139,15 +139,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!phys.contains("rangepartitioning"), s"\n$phys")
   }
 
-  test("c4 cleaning: staged projections, no HOF re-evaluation, sort-only exchange") {
+  test("c4 cleaning: one kernel evaluation, sort-only exchange") {
     val df = graft.textops.TextAnalysis.c4Clean(spark, sf)
     val plan = optimized(df)
-    // 'javascript' appears ONCE in the planted-line literal and ONCE in
-    // the kept-filter lambda; 'lorem ipsum' ONCE in the plant and ONCE in
-    // the page verdict. Any CollapseProject duplication of the line or
-    // kept arrays multiplies these counts — the O(len) re-evaluation trap.
-    assert(count(plan, "javascript") === 2, s"\n$plan")
-    assert(count(plan, "lorem ipsum") === 2, s"\n$plan")
+    // round 6: the staged HOF chain (whose CollapseProject duplication
+    // the old literal-count pin guarded) is one native c4_doc pass; the
+    // struct alias must stay staged so the kernel evaluates ONCE per
+    // row despite its four downstream field references
+    assert(count(plan, "c4_doc(") === 1, s"\n$plan")
     val phys = df.queryExecution.executedPlan.toString
     assert(!phys.contains("hashpartitioning"), s"\n$phys")
     assert(!phys.contains("SinglePartition"), s"\n$phys")

@@ -127,6 +127,41 @@ class WordStatsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("c4_doc kernel == columnar planted-lines/kept/verdict chain") {
+    import spark.implicits._
+    // real corpus (every plant modulus fires) + synthetic edges:
+    // empty text, multi-space, punct-only, doc_ids on each plant modulus
+    val real = TextAnalysis.loadDocs(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val edges = Seq(
+      (0L, ""), (7L, " "), (11L, "a"), (13L, "a  b   c"), (17L, "... . ! ?"),
+      (77L, "one two three four five six seven eight ."),
+      (91L, "javascript inline word test here please okay ."),
+      (119L, ("w " * 40).trim), (221L, "short ."))
+      .toDF("doc_id", "text")
+    for (d <- Seq(real, edges)) {
+      val sWords = d.select(col("doc_id"),
+        TextAnalysis.nonEmptyWords(col("text")).as("ws"))
+      val colSide = TextAnalysis.c4PlantedLines(sWords)
+        .select(col("doc_id"), col("lines"),
+          TextAnalysis.c4KeptCol(col("lines")).as("kept"),
+          array_join(col("lines"), "\n").as("pt"))
+        .select(col("doc_id"), col("lines"), col("kept"),
+          TextAnalysis.c4PageKeepCol(col("kept"), col("pt")).as("pk"))
+      val kSide = d.select(col("doc_id"),
+          TextAnalysis.c4Doc(col("doc_id"), col("text")).as("c"))
+        .select(col("doc_id"), col("c.lines").as("k_lines"),
+          col("c.kept").as("k_kept"), col("c.page_keep").as("k_pk"))
+      val joined = colSide.join(kSide, Seq("doc_id")).collect()
+      assert(joined.nonEmpty)
+      joined.foreach { r =>
+        assert(r.getSeq[String](1) === r.getSeq[String](4), s"lines @ ${r.get(0)}")
+        assert(r.getSeq[String](2) === r.getSeq[String](5), s"kept @ ${r.get(0)}")
+        assert(r.getBoolean(3) === r.getBoolean(6), s"verdict @ ${r.get(0)}")
+      }
+    }
+  }
+
   test("stats-derived query columns equal the round-5 word-array forms") {
     import spark.implicits._
     val df = fixtures.toDF("text")
